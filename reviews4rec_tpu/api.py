@@ -1,0 +1,94 @@
+"""Top-level runner: one call trains any model and reports the full
+metric set (test MSE, HR@k/NDCG@k, count-vs-MSE maps).
+
+Equivalent of the reference dispatcher `main(hyper_params)`
+(`main.py:401-431`), but every family runs inside one process on one
+runtime — no shelling out to C++ binaries or python2 conda envs
+(`main.py:150-169, 224-265`).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+from .config import HyperParams
+from .data.corpus import ReviewDataset
+from .models import build_model, neumf_warm_start
+from .train.evaluate import (eval_ranking, evaluate, make_apply_fn,
+                             make_eval_step, make_rank_step)
+from .train.loop import train_complete
+from .utils.logging import Timer, file_write, log_end_epoch
+
+
+def _finalize(hp, model, params, dataset, quiet: bool):
+    """Test MSE + count maps + ranking for a trained gradient model."""
+    from .data.batcher import Batcher
+
+    apply_fn = make_apply_fn(model)
+    eval_step = make_eval_step(apply_fn, hp.model_type)
+    test_b = Batcher(dataset.materialize(hp, "test"), hp.batch_size)
+    metrics, ucm, icm = evaluate(eval_step, params, test_b, hp,
+                                 dataset.user_count, dataset.item_count)
+
+    rank_step = make_rank_step(apply_fn, hp.model_type)
+    neg_recs = dataset.materialize_negs(hp)
+    # Review-model candidate tensors are large; use a smaller outer batch.
+    rank_bs = max(1, hp.batch_size // (4 if hp.uses_reviews else 1))
+    metrics.update(eval_ranking(rank_step, params, neg_recs, hp,
+                                batch_size=rank_bs))
+    return metrics, ucm, icm
+
+
+def run(hp: HyperParams, dataset: Optional[ReviewDataset] = None,
+        quiet: bool = True) -> Tuple[Dict, Dict, Dict]:
+    """Train + evaluate `hp.model_type`. Returns (metrics,
+    user_count_mse_map, item_count_mse_map), the reference's research
+    outputs (`main.py:417-429`)."""
+    if dataset is None:
+        dataset = ReviewDataset.load(hp.data_dir())
+    hp = dataset.apply_to(hp)
+    start = time.time()
+
+    if hp.family == "neighbor":
+        from .models.neighbors import run_neighbor
+        out = run_neighbor(hp, dataset)
+    elif hp.family == "topic":
+        from .models.hft import run_hft
+        out = run_hft(hp, dataset, quiet=quiet)
+    elif hp.model_type == "NeuMF":
+        out = _run_neumf(hp, dataset, quiet=quiet)
+    else:
+        model = build_model(hp, dataset.word_vectors)
+        params, _ = train_complete(hp, model, dataset, quiet=quiet)
+        out = _finalize(hp, model, params, dataset, quiet)
+
+    metrics, ucm, icm = out
+    metrics["dataset"] = hp.dataset
+    log_end_epoch(hp.log_file(), metrics, "final", time.time() - start,
+                  metrics_on="(TEST)", quiet=quiet)
+    return metrics, ucm, icm
+
+
+def _run_neumf(hp: HyperParams, dataset: ReviewDataset, quiet: bool):
+    """NeuMF 3-phase pretrain: GMF, then MLP, then weight-surgery warm
+    start of the fused model (reference `main_NeuMF`, main.py:289-338)."""
+    gmf_hp = hp.replace(model_type="GMF")
+    gmf_model = build_model(gmf_hp)
+    gmf_params, _ = train_complete(gmf_hp, gmf_model, dataset, quiet=quiet)
+
+    mlp_hp = hp.replace(model_type="MLP")
+    mlp_model = build_model(mlp_hp)
+    mlp_params, _ = train_complete(mlp_hp, mlp_model, dataset, quiet=quiet)
+
+    model = build_model(hp)
+    import jax
+    from .data.batcher import Batcher
+    sample = next(iter(Batcher(dataset.materialize(hp, "train"),
+                               hp.batch_size)))
+    rng = jax.random.PRNGKey(hp.seed)
+    params = model.init({"params": rng, "dropout": rng}, sample,
+                        train=False)["params"]
+    params = neumf_warm_start(params, gmf_params, mlp_params)
+    params, _ = train_complete(hp, model, dataset, params=params, quiet=quiet)
+    return _finalize(hp, model, params, dataset, quiet)

@@ -1,0 +1,180 @@
+"""Unified configuration for the whole framework.
+
+The reference drives four separate back-ends from one mutable dict
+(`/root/reference/hyper_params.py:50-80`); here a single frozen dataclass
+covers every model family, with the same defaults, plus TPU-specific
+sections (mesh axes, precision) the reference has no equivalent for.
+
+The `common_path` scheme (artifact names embedding every hyper-parameter,
+reference `hyper_params.py:3-48`) is reproduced by `run_tag()`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# Model family groupings (reference `hyper_params.py:68-73`).
+ID_MODELS = ("bias_only", "MF", "MF_dot", "GMF", "MLP", "NeuMF")
+NEIGHBOR_MODELS = ("SVD", "kNN", "NMF", "SVD++", "baseline")
+REVIEW_MODELS = ("deepconn", "deepconn++", "NARRE", "transnet", "transnet++", "MPCN")
+TOPIC_MODELS = ("HFT",)
+ALL_MODELS = ID_MODELS + NEIGHBOR_MODELS + REVIEW_MODELS + TOPIC_MODELS
+
+
+@dataclass(frozen=True)
+class HyperParams:
+    # ---- data ----
+    dataset: str = "synthetic"
+    k_core: int = 5
+    percent_reviews_to_keep: int = 100
+    data_root: str = "data"
+
+    # ---- optimization (reference `hyper_params.py:56-63`) ----
+    weight_decay: float = 1e-6
+    lr: float = 0.002
+    epochs: int = 2
+    batch_size: int = 128
+    shuffle_data_every_epoch: bool = False
+    seed: int = 0
+
+    # ---- model geometry (reference `hyper_params.py:65-80`) ----
+    latent_size: int = 10
+    word_embed_size: int = 64
+    input_length: int = 1000
+    dropout: float = 0.6
+    model_type: str = "bias_only"
+
+    narre_num_reviews: int = 10
+    narre_num_words: int = 100
+
+    # ---- HFT (reference `hyper_params.py:75-77`, HFT/language.cpp:703-750) ----
+    lamda: float = 0.1          # topic-model coupling weight
+    latent_reg: float = 0.0     # L2 on latent factors
+    hft_em_iters: int = 20
+    hft_grad_iters: int = 20
+    hft_vocab: int = 5000       # HFT/common.hpp:150-162 keeps top-5000 words
+
+    # ---- MPCN (reference MPCN/parser.py defaults) ----
+    mpcn_dmax: int = 20         # reviews per entity
+    mpcn_smax: int = 30         # words per review
+    mpcn_heads: int = 1
+    mpcn_temperature: float = 0.5
+    mpcn_factor: int = 10       # FM factors
+    mpcn_l2: float = 1e-8
+    mpcn_lr: float = 1e-3
+    mpcn_clip_norm: float = 1.0
+    mpcn_dropout_keep: float = 0.8
+
+    # ---- neighbor/surprise-equivalents (surprise library defaults) ----
+    surprise_epochs: int = 20
+    surprise_lr: float = 0.005
+    surprise_reg: float = 0.02
+    knn_k: int = 10
+    nmf_epochs: int = 50
+    rating_min: float = 1.0
+    rating_max: float = 5.0
+
+    # ---- eval ----
+    num_negs: int = 5           # candidates = 1 pos + num_negs
+    eval_ks: Tuple[int, ...] = (1,)  # HR@k / NDCG@k cutoffs
+
+    # ---- populated by data loading (reference data.py:468-470) ----
+    total_users: int = 0
+    total_items: int = 0
+    total_words: int = 0
+
+    # ---- TPU runtime (new; the reference is single-device) ----
+    mesh_shape: Tuple[int, ...] = (1, 1)     # (data, model)
+    mesh_axes: Tuple[str, ...] = ("data", "model")
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"           # bf16 for large review towers
+    use_pallas: bool = False                  # A/B switch for Pallas kernels
+    log_dir: str = "saved_logs"
+    model_dir: str = "saved_models"
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw) -> "HyperParams":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def family(self) -> str:
+        if self.model_type in ID_MODELS:
+            return "id"
+        if self.model_type in NEIGHBOR_MODELS:
+            return "neighbor"
+        if self.model_type in TOPIC_MODELS:
+            return "topic"
+        if self.model_type in REVIEW_MODELS:
+            return "review"
+        raise ValueError(f"unknown model_type {self.model_type!r}")
+
+    @property
+    def uses_reviews(self) -> bool:
+        return self.family in ("review", "topic")
+
+    @property
+    def num_candidates(self) -> int:
+        return 1 + self.num_negs
+
+    # Sentinel ids used to pad the 10-slot neighbor lists
+    # (reference data.py:274-279 pads with `total + 1`).
+    @property
+    def user_pad_id(self) -> int:
+        return self.total_users + 1
+
+    @property
+    def item_pad_id(self) -> int:
+        return self.total_items + 1
+
+    # Embedding-table row counts. The reference uses +1 rows for id models
+    # (`MF.py:14-15`) and +2 for review models (`DeepCoNN.py:28-29`) so the
+    # sentinel id fits; we use +2 uniformly — one real-id range plus pad row.
+    @property
+    def num_user_rows(self) -> int:
+        return self.total_users + 2
+
+    @property
+    def num_item_rows(self) -> int:
+        return self.total_items + 2
+
+    @property
+    def vocab_rows(self) -> int:
+        return self.total_words + 1  # word id 0 is UNK/pad
+
+    # ------------------------------------------------------------------
+    def data_dir(self) -> str:
+        """Per-dataset artifact directory (reference hyper_params.py:90-95)."""
+        p = os.path.join(self.data_root, self.dataset, f"{self.k_core}_core")
+        if self.percent_reviews_to_keep != 100:
+            p = os.path.join(p, f"{self.percent_reviews_to_keep}_percent")
+        return p
+
+    def run_tag(self) -> str:
+        """Config-derived artifact name (reference `get_common_path`,
+        hyper_params.py:3-48): every hyper-parameter that affects the run is
+        baked into log/checkpoint filenames."""
+        parts = [
+            self.model_type,
+            self.dataset,
+            f"{self.k_core}core",
+            f"ls{self.latent_size}",
+        ]
+        if self.uses_reviews:
+            parts += [f"we{self.word_embed_size}",
+                      f"pct{self.percent_reviews_to_keep}"]
+        if self.model_type == "NARRE":
+            parts += [f"nr{self.narre_num_reviews}", f"nw{self.narre_num_words}"]
+        if self.model_type == "HFT":
+            parts += [f"lam{self.lamda}", f"lreg{self.latent_reg}"]
+        parts += [f"wd{self.weight_decay}", f"lr{self.lr}",
+                  f"do{self.dropout}", f"il{self.input_length}"]
+        return "_".join(str(p) for p in parts)
+
+    def log_file(self) -> str:
+        return os.path.join(self.log_dir, self.run_tag() + ".log")
+
+    def model_path(self) -> str:
+        return os.path.join(self.model_dir, self.run_tag() + ".ckpt")

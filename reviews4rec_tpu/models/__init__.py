@@ -1,0 +1,61 @@
+"""Model registry: config -> flax module.
+
+The reference dispatches on `model_type` strings across four back-ends
+(`main.py:401-431`); here every gradient model is a flax module behind
+one constructor. HFT and the neighborhood (surprise-equivalent) models
+have their own fit() drivers (see hft.py / neighbors.py) because their
+training procedures are not SGD-on-MSE.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import HyperParams
+from .mf import MF, BiasOnly, GMF, MFDot, MLPModel, NeuMF, neumf_warm_start
+
+
+def build_model(hp: HyperParams, word_vectors=None):
+    common = dict(num_user_rows=hp.num_user_rows,
+                  num_item_rows=hp.num_item_rows)
+    mt = hp.model_type
+    if mt == "bias_only":
+        return BiasOnly(**common)
+    if mt == "MF_dot":
+        return MFDot(latent_size=hp.latent_size, dropout=hp.dropout, **common)
+    if mt == "MF":
+        return MF(latent_size=hp.latent_size, dropout=hp.dropout, **common)
+    if mt == "GMF":
+        return GMF(latent_size=hp.latent_size, dropout=hp.dropout, **common)
+    if mt == "MLP":
+        return MLPModel(latent_size=hp.latent_size, dropout=hp.dropout,
+                        **common)
+    if mt == "NeuMF":
+        return NeuMF(latent_size=hp.latent_size, dropout=hp.dropout, **common)
+
+    wv = None if word_vectors is None else jnp.asarray(word_vectors)
+    if mt in ("deepconn", "deepconn++"):
+        from .deepconn import DeepCoNN
+        return DeepCoNN(latent_size=hp.latent_size, dropout=hp.dropout,
+                        word_vectors=wv, use_fm=(mt == "deepconn"), **common)
+    if mt == "NARRE":
+        from .narre import NARRE
+        return NARRE(latent_size=hp.latent_size, dropout=hp.dropout,
+                     word_vectors=wv, **common)
+    if mt in ("transnet", "transnet++"):
+        from .transnet import TransNet
+        return TransNet(latent_size=hp.latent_size, dropout=hp.dropout,
+                        word_vectors=wv, plus=(mt == "transnet++"), **common)
+    if mt == "MPCN":
+        from .mpcn import MPCN
+        return MPCN(hidden=hp.latent_size, dropout_keep=hp.mpcn_dropout_keep,
+                    word_vectors=wv, num_heads=hp.mpcn_heads,
+                    temperature=hp.mpcn_temperature,
+                    factors=hp.mpcn_factor, **common)
+    raise ValueError(
+        f"{mt!r} is not an SGD model; use hft.HFTTrainer or "
+        f"neighbors.fit_predict for it")
+
+
+__all__ = ["build_model", "neumf_warm_start", "BiasOnly", "MFDot", "MF",
+           "GMF", "MLPModel", "NeuMF"]

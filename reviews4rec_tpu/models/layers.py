@@ -1,0 +1,126 @@
+"""Shared neural blocks: factorization machine, text CNN, MLP towers.
+
+TPU-first re-designs of the reference's shared PyTorch blocks
+(`pytorch_models/common_pytorch_models.py`): the TextCNN is expressed as
+a single windowed matmul so XLA tiles it onto the MXU, and the FM uses
+the same (xV)^2 - (x^2 V^2) contraction trick (two matmuls, fused
+elementwise tail).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def xavier_uniform():
+    return nn.initializers.xavier_uniform()
+
+
+class FM(nn.Module):
+    """Rendle factorization machine head without global bias
+    (reference `TorchFM`, common_pytorch_models.py:41-57).
+
+    score(x) = 0.5 * sum_k[(x V)_k^2 - (x^2 V^2)_k] + w.x + b
+    """
+
+    factors: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = x.shape[-1]
+        v = self.param("V", nn.initializers.normal(1.0), (n, self.factors))
+        xv = x @ v                                    # [..., k]
+        x2v2 = (x * x) @ (v * v)                      # [..., k]
+        inter = 0.5 * jnp.sum(xv * xv - x2v2, axis=-1)
+        lin = nn.Dense(1, kernel_init=xavier_uniform(), name="lin")(x)[..., 0]
+        return inter + lin
+
+
+class TextCNN(nn.Module):
+    """Review-document encoder (reference `TextCNN`,
+    common_pytorch_models.py:6-39): conv window 3 over the full word-embed
+    width with 100 filters, ReLU, max-pool-over-time, FC to latent,
+    dropout.
+
+    The conv contracts the entire embedding dimension, so it is lowered
+    as a [B*T, W*E] x [W*E, F] matmul (MXU-shaped) instead of a spatial
+    convolution.
+    """
+
+    latent_size: int
+    dropout: float = 0.6
+    num_filters: int = 100
+    window: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # x: [B, T, E] embedded words
+        b, t, e = x.shape
+        w = self.window
+        kernel = self.param("conv_kernel", xavier_uniform(),
+                            (w * e, self.num_filters))
+        bias = self.param("conv_bias", nn.initializers.zeros,
+                          (self.num_filters,))
+        # torch Conv2d pads (window-1) on both time ends -> T + w - 1 outputs
+        xp = jnp.pad(x, ((0, 0), (w - 1, w - 1), (0, 0)))
+        # windows: [B, T+w-1, w, E] -> flatten tap axis -> one big matmul
+        idx = (jnp.arange(t + w - 1)[:, None] + jnp.arange(w)[None, :])
+        windows = xp[:, idx, :].reshape(b, t + w - 1, w * e)
+        y = jax.nn.relu(windows @ kernel + bias)       # [B, T+w-1, F]
+        y = jnp.max(y, axis=1)                         # pool over time
+        y = nn.Dense(self.latent_size, kernel_init=xavier_uniform(),
+                     name="fc")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return y
+
+
+class MLPTower(nn.Module):
+    """Dropout -> Dense -> ReLU -> Dense (reference `projection`
+    sub-networks, e.g. MF.py:27-33, NeuMF.py:90-95)."""
+
+    sizes: Sequence[int]
+    dropout: float = 0.6
+    dropout_first: bool = True
+    final_activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.dropout_first:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        for j, size in enumerate(self.sizes):
+            x = nn.Dense(size, kernel_init=xavier_uniform(), name=f"fc{j}")(x)
+            if j < len(self.sizes) - 1:
+                x = jax.nn.relu(x)
+        if self.final_activation is not None:
+            x = self.final_activation(x)
+        return x
+
+
+class ScorerMLP(nn.Module):
+    """Dense -> ReLU -> Dropout -> Dense(1): the attention scorers and
+    final heads used by DeepCoNN++/NARRE (DeepCoNN.py:22-27,
+    NARRE.py:25-37)."""
+
+    hidden: int
+    dropout: float = 0.6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, kernel_init=xavier_uniform(), name="fc0")(x)
+        x = jax.nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(1, kernel_init=xavier_uniform(), name="fc1")(x)
+        return x[..., 0]
+
+
+def bias_lookup(bias_table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(bias_table, ids, axis=0)
+
+
+def embed_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Row gather; the sharded variant lives in parallel/embedding.py."""
+    return jnp.take(table, ids, axis=0)

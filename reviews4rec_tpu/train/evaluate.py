@@ -1,0 +1,133 @@
+"""Evaluation: rating MSE (+ cold-start count maps) and negative-set
+ranking (HR@k / NDCG@k).
+
+Protocol parity with the reference:
+- MSE is computed per-example then averaged over the whole split
+  (`eval.py:36-57`).
+- count-vs-MSE maps bucket each test example's squared error by its
+  user's / item's train-set frequency (`eval.py:42-53`, research output
+  documented at `main.py:417-429`).
+- Ranking uses the stored negative sets: per user, 1 positive (column 0)
+  + 5 sampled test negatives; HR@1 = argmax lands on column 0
+  (`eval.py:64-91`). We additionally report HR@k and NDCG@k for any k as
+  batched on-device sorts (superset of the reference's k=1).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HyperParams
+from ..data.batcher import Batcher
+
+
+def make_apply_fn(model) -> Callable:
+    """Uniform functional interface over a flax module."""
+
+    def apply_fn(params, batch, train: bool, rng):
+        rngs = {"dropout": rng} if train else {}
+        return model.apply({"params": params}, batch, train=train, rngs=rngs)
+
+    return apply_fn
+
+
+def make_eval_step(apply_fn: Callable, model_type: str):
+    """Jitted per-batch scorer returning per-example squared errors (and
+    transnet auxiliary metrics)."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        preds = apply_fn(params, batch, False, jax.random.PRNGKey(0))
+        y = batch["rating"]
+        if model_type in ("transnet", "transnet++"):
+            source, target, trans_loss = preds
+            return {
+                "sq": (source - y) ** 2,
+                "pred": source,
+                "sq_right": (target - y) ** 2,
+                "trans": trans_loss,
+            }
+        return {"sq": (preds - y) ** 2, "pred": preds}
+
+    return eval_step
+
+
+def evaluate(eval_step, params, batcher: Batcher, hp: HyperParams,
+             user_count: np.ndarray, item_count: np.ndarray
+             ) -> Tuple[Dict, Dict, Dict]:
+    """Split MSE + per-train-frequency MSE maps (reference evaluate(),
+    eval.py:11-62)."""
+    total_sq, total_n = 0.0, 0.0
+    right_sq, trans_sum, batches = 0.0, 0.0, 0.0
+    user_count_mse_map: Dict[int, list] = {}
+    item_count_mse_map: Dict[int, list] = {}
+
+    for batch in batcher:
+        out = eval_step(params, batch)
+        w = batch["weight"].astype(bool)
+        sq = np.asarray(out["sq"])[w]
+        total_sq += float(sq.sum())
+        total_n += float(w.sum())
+        if "sq_right" in out:
+            right_sq += float(np.asarray(out["sq_right"])[w].mean())
+            trans_sum += float(out["trans"])
+            batches += 1.0
+
+        users = batch["user"][w]
+        items = batch["item"][w]
+        ucnt = user_count[users]
+        icnt = item_count[items]
+        for c, e in zip(ucnt, sq):
+            user_count_mse_map.setdefault(int(c), []).append(float(e))
+        for c, e in zip(icnt, sq):
+            item_count_mse_map.setdefault(int(c), []).append(float(e))
+
+    metrics = {"MSE": round(total_sq / max(total_n, 1.0), 4)}
+    if batches:
+        metrics["MSE_right"] = round(right_sq / batches, 4)
+        metrics["MSE_transform"] = round(trans_sum / batches, 4)
+    return metrics, user_count_mse_map, item_count_mse_map
+
+
+def make_rank_step(apply_fn: Callable, model_type: str):
+    @jax.jit
+    def rank_step(params, batch):
+        preds = apply_fn(params, batch, False, jax.random.PRNGKey(0))
+        if model_type in ("transnet", "transnet++"):
+            preds = preds[0]  # rank by the source net (eval.py:72)
+        # preds: [B, C]; positive is column 0. Rank of the positive =
+        # number of candidates scoring strictly higher (ties resolved in
+        # favour of lower index, matching argmax semantics).
+        pos = preds[:, :1]
+        higher = jnp.sum((preds[:, 1:] > pos), axis=1)
+        return higher  # [B] rank position of the positive (0-based)
+
+    return rank_step
+
+
+def eval_ranking(rank_step, params, neg_records, hp: HyperParams,
+                 batch_size: int = 0) -> Dict:
+    """HR@k / NDCG@k over per-user candidate sets (reference
+    eval_ranking(), eval.py:64-91: k=1, hit iff argmax is the positive)."""
+    bs = batch_size or hp.batch_size
+    batcher = Batcher(neg_records, bs)
+    ranks = []
+    for batch in batcher:
+        r = np.asarray(rank_step(params, batch))
+        ranks.append(r[batch["weight"].astype(bool)])
+    ranks = np.concatenate(ranks) if ranks else np.zeros(0, np.int64)
+
+    metrics = {}
+    total = max(len(ranks), 1)
+    for k in hp.eval_ks:
+        hr = float((ranks < k).sum()) / total
+        ndcg = float(np.where(ranks < k, 1.0 / np.log2(ranks + 2), 0.0).sum()) \
+            / total
+        metrics[f"HR@{k}"] = round(100.0 * hr, 2)
+        if k > 1:
+            metrics[f"NDCG@{k}"] = round(100.0 * ndcg, 2)
+    return metrics

@@ -1,0 +1,141 @@
+"""Unified training loop.
+
+One jit-compiled train step + one epoch driver serves every gradient
+model family, replacing the reference's per-family loops
+(`main.py:8-136`). Matches the reference dynamics:
+
+- Adam with additive (non-decoupled) L2 weight decay, the torch
+  `Adam(weight_decay=...)` semantics (`main.py:95-97`).
+- per-batch loss = mean squared error over real examples (padding rows
+  are masked out; the reference instead shrinks the final batch).
+- best-validation-MSE parameter snapshot per epoch (`main.py:123-126`).
+- TransNet's three interleaved optimizers (`main.py:35-53`,
+  `utils.py:70-92`) are re-derived as a single step with stop_gradient
+  routing: each parameter partition receives exactly the gradient of the
+  loss whose optimizer stepped it in the reference (target net <- target
+  MSE; source towers <- transform L2; source FM + id embeddings <-
+  source MSE). Because the reference zeroes all grads every batch and
+  never steps `optimizer_all`, and Adam is elementwise, a single Adam
+  over the routed combined loss computes identical updates.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import HyperParams
+from ..data.batcher import Batcher
+from ..utils.logging import file_write, log_end_epoch
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(hp: HyperParams) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.add_decayed_weights(hp.weight_decay),
+        optax.adam(hp.lr),
+    )
+
+
+def _batch_loss(preds, batch, model_type: str):
+    """Masked per-batch loss + squared-error accumulators."""
+    w = batch["weight"]
+    y = batch["rating"]
+    if model_type in ("transnet", "transnet++"):
+        source, target, trans_loss = preds
+        sq_src = (source - y) ** 2
+        # Routed multi-loss (see module docstring). `trans_loss` and the
+        # stop_gradient routing are computed inside the model.
+        loss = (jnp.sum(sq_src * w) / jnp.maximum(jnp.sum(w), 1.0)
+                + jnp.sum((target - y) ** 2 * w) / jnp.maximum(jnp.sum(w), 1.0)
+                + trans_loss)
+        sq = sq_src
+    else:
+        sq = (preds - y) ** 2
+        loss = jnp.sum(sq * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return loss, (jnp.sum(sq * w), jnp.sum(w))
+
+
+def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
+                    model_type: str):
+    @jax.jit
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        def loss_fn(params):
+            preds = apply_fn(params, batch, True, rng)
+            return _batch_loss(preds, batch, model_type)
+
+        (loss, (sq_sum, n)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params, opt_state, state.step + 1),
+                {"loss": loss, "sq_sum": sq_sum, "n": n})
+
+    return train_step
+
+
+def train_epoch(train_step, state: TrainState, batcher: Batcher,
+                rng) -> Tuple[TrainState, Dict]:
+    sq_sum, n = 0.0, 0.0
+    for batch in batcher:
+        rng, step_rng = jax.random.split(rng)
+        state, m = train_step(state, batch, step_rng)
+        sq_sum += float(m["sq_sum"])
+        n += float(m["n"])
+    return state, {"MSE": round(sq_sum / max(n, 1.0), 4)}
+
+
+def train_complete(hp: HyperParams, model, dataset, *,
+                   params=None, quiet: bool = True,
+                   eval_fn: Optional[Callable] = None):
+    """Full training run with per-epoch validation and best-val snapshot
+    (reference `train_complete`, main.py:73-136). Returns best params."""
+    from .evaluate import evaluate, make_apply_fn, make_eval_step
+
+    apply_fn = make_apply_fn(model)
+    optimizer = make_optimizer(hp)
+
+    train_recs = dataset.materialize(hp, "train")
+    val_recs = dataset.materialize(hp, "val")
+    train_b = Batcher(train_recs, hp.batch_size,
+                      shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
+    val_b = Batcher(val_recs, hp.batch_size)
+
+    rng = jax.random.PRNGKey(hp.seed)
+    if params is None:
+        rng, init_rng = jax.random.split(rng)
+        sample = next(iter(train_b))
+        params = model.init({"params": init_rng, "dropout": init_rng},
+                            sample, train=False)["params"]
+
+    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    train_step = make_train_step(apply_fn, optimizer, hp.model_type)
+    eval_step = make_eval_step(apply_fn, hp.model_type)
+
+    best_mse = float("inf")
+    best_params = state.params
+    log = hp.log_file()
+    for epoch in range(1, hp.epochs + 1):
+        t0 = time.time()
+        rng, epoch_rng = jax.random.split(rng)
+        state, train_metrics = train_epoch(train_step, state, train_b,
+                                           epoch_rng)
+        metrics, _, _ = evaluate(eval_step, state.params, val_b, hp,
+                                 dataset.user_count, dataset.item_count)
+        log_end_epoch(log, metrics, epoch, time.time() - t0, quiet=quiet)
+        if metrics["MSE"] < best_mse:
+            best_mse = metrics["MSE"]
+            best_params = state.params
+
+    return best_params, best_mse

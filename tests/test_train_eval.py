@@ -1,0 +1,96 @@
+"""Trainer + evaluator behavior: bias_only converges toward the
+closed-form bias solution; ranking metrics on crafted candidate sets."""
+
+import jax
+import numpy as np
+import pytest
+
+from reviews4rec_tpu.data.batcher import Batcher
+from reviews4rec_tpu.models import build_model
+from reviews4rec_tpu.train.evaluate import (eval_ranking, evaluate,
+                                            make_apply_fn, make_eval_step,
+                                            make_rank_step)
+from reviews4rec_tpu.train.loop import train_complete
+
+
+def test_bias_only_learns(dataset, hp_base):
+    hp = hp_base.replace(model_type="bias_only", epochs=12, lr=0.05)
+    model = build_model(hp)
+    params, best_mse = train_complete(hp, model, dataset)
+    # global mean predictor MSE on this synthetic corpus
+    tr = dataset.splits["train"].rating
+    va = dataset.splits["val"].rating
+    naive = float(((va - tr.mean()) ** 2).mean())
+    assert best_mse < naive + 0.05  # must at least match the mean predictor
+
+
+def test_eval_count_maps(dataset, hp_base):
+    hp = hp_base.replace(model_type="bias_only")
+    model = build_model(hp)
+    recs = dataset.materialize(hp, "test")
+    b = Batcher(recs, hp.batch_size)
+    sample = next(iter(b))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng}, sample,
+                        train=False)["params"]
+    step = make_eval_step(make_apply_fn(model), hp.model_type)
+    metrics, ucm, icm = evaluate(step, params, b, hp, dataset.user_count,
+                                 dataset.item_count)
+    n_test = len(dataset.splits["test"])
+    assert sum(len(v) for v in ucm.values()) == n_test
+    assert sum(len(v) for v in icm.values()) == n_test
+    # keys are train frequencies
+    for c in ucm:
+        assert 0 <= c <= dataset.user_count.max()
+    flat = [e for v in ucm.values() for e in v]
+    assert np.isclose(np.mean(flat), metrics["MSE"], atol=1e-3)
+
+
+def test_hr1_crafted(hp_base):
+    """HR@1 on a crafted scorer: positive wins iff its score is the
+    strict max of the 6 candidates (reference eval.py:74-90)."""
+    hp = hp_base.replace(model_type="bias_only", eval_ks=(1, 3))
+
+    def fake_rank_step(params, batch):
+        preds = batch["scores"]
+        pos = preds[:, :1]
+        return np.asarray((preds[:, 1:] > pos).sum(axis=1))
+
+    scores = np.array([
+        [5.0, 1, 1, 1, 1, 1],   # hit, rank 0
+        [2.0, 3, 1, 1, 1, 1],   # miss, rank 1
+        [2.0, 3, 4, 1, 1, 1],   # miss, rank 2
+        [2.0, 2, 1, 1, 1, 1],   # tie -> argmax takes index 0 -> hit
+    ], np.float32)
+    recs = {
+        "user": np.zeros((4, 6), np.int32),
+        "item": np.zeros((4, 6), np.int32),
+        "rating": np.zeros((4, 6), np.float32),
+        "scores": scores,
+    }
+    m = eval_ranking(fake_rank_step, None, recs, hp, batch_size=3)
+    assert m["HR@1"] == 50.0   # 2 of 4
+    assert m["HR@3"] == 100.0
+    assert "NDCG@3" in m
+
+
+def test_rank_step_model(dataset, hp_base):
+    hp = hp_base.replace(model_type="MF_dot")
+    model = build_model(hp)
+    negs = dataset.materialize_negs(hp)
+    b = Batcher(negs, 8)
+    sample = next(iter(b))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng}, sample,
+                        train=False)["params"]
+    rank_step = make_rank_step(make_apply_fn(model), hp.model_type)
+    m = eval_ranking(rank_step, params, negs, hp)
+    assert 0.0 <= m["HR@1"] <= 100.0
+
+
+def test_full_run_api(dataset, hp_base):
+    from reviews4rec_tpu.api import run
+    hp = hp_base.replace(model_type="MF_dot", epochs=2)
+    metrics, ucm, icm = run(hp, dataset)
+    assert "MSE" in metrics and "HR@1" in metrics
+    assert len(ucm) > 0
