@@ -1,0 +1,54 @@
+"""DeepCoNN / DeepCoNN++ (reference `pytorch_models/DeepCoNN.py`).
+
+Two TextCNN towers over the user's and item's concatenated review
+documents (leakage-removed, frozen word2vec embeddings), joined by
+either an FM head plus global bias ('deepconn', DeepCoNN.py:64-66) or
+an MLP head plus per-entity biases ('deepconn++', DeepCoNN.py:69-72).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import FM, ScorerMLP, TextCNN
+
+
+class DeepCoNN(nn.Module):
+    num_user_rows: int
+    num_item_rows: int
+    latent_size: int
+    word_vectors: jnp.ndarray  # [V, E] frozen (DeepCoNN.py:14-16)
+    dropout: float = 0.6
+    use_fm: bool = True  # True = 'deepconn', False = 'deepconn++'
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        lead = batch["user"].shape
+        udoc = batch["user_doc"].reshape(-1, batch["user_doc"].shape[-1])
+        idoc = batch["item_doc"].reshape(-1, batch["item_doc"].shape[-1])
+
+        u = jnp.take(self.word_vectors, udoc, axis=0)  # [B, L, E]
+        i = jnp.take(self.word_vectors, idoc, axis=0)
+        u = TextCNN(self.latent_size, self.dropout, name="user_conv")(
+            u, train=train)
+        i = TextCNN(self.latent_size, self.dropout, name="item_conv")(
+            i, train=train)
+        cat = jnp.concatenate([u, i], axis=-1)
+
+        gb = self.param("global_bias", nn.initializers.constant(4.0), (1,))
+        if self.use_fm:
+            rating = gb[0] + FM(8, name="fm")(cat)
+            return rating.reshape(lead)
+
+        ub = self.param("user_bias", nn.initializers.constant(0.1),
+                        (self.num_user_rows,))
+        ib = self.param("item_bias", nn.initializers.constant(0.1),
+                        (self.num_item_rows,))
+        rating = ScorerMLP(self.latent_size, self.dropout, name="final")(
+            cat, train=train)
+        rating = (rating
+                  + jnp.take(ub, batch["user"].reshape(-1), axis=0)
+                  + jnp.take(ib, batch["item"].reshape(-1), axis=0)
+                  + gb[0])
+        return rating.reshape(lead)

@@ -32,7 +32,11 @@ class FM(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n = x.shape[-1]
-        v = self.param("V", nn.initializers.normal(1.0), (n, self.factors))
+        # V is declared as torch.randn in the reference, but main_pytorch
+        # applies xavier_init over every dim>1 parameter after
+        # construction (utils.py:65-68, main.py:377), so the trained-from
+        # state is xavier-uniform.
+        v = self.param("V", xavier_uniform(), (n, self.factors))
         xv = x @ v                                    # [..., k]
         x2v2 = (x * x) @ (v * v)                      # [..., k]
         inter = 0.5 * jnp.sum(xv * xv - x2v2, axis=-1)

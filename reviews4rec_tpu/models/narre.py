@@ -1,0 +1,87 @@
+"""NARRE: Neural Attentional Rating Regression with Review-level
+Explanations (reference `pytorch_models/NARRE.py`).
+
+Per-review TextCNN features attended with neighbor-id embeddings as
+attention context (NARRE.py:53-64, 99-113), added to id embeddings, then
+a hadamard-product MLP head plus biases (NARRE.py:115-124). The
+per-review layout is [num_reviews=10, num_words=100]; review slot j of
+the user aligns with neighbor-id slot j (both lists are emitted in the
+same order by the data pipeline).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import MLPTower, ScorerMLP, TextCNN, xavier_uniform
+
+
+class NARRE(nn.Module):
+    num_user_rows: int
+    num_item_rows: int
+    latent_size: int
+    word_vectors: jnp.ndarray
+    dropout: float = 0.6
+
+    def _attend(self, feats, ctx_emb, scorer, train):
+        # feats: [B, R, L]; ctx_emb: [B, R, L] neighbor-id embeddings
+        scores = scorer(jnp.concatenate([feats, ctx_emb], axis=-1),
+                        train=train)               # [B, R]
+        att = jax.nn.softmax(scores, axis=-1)
+        return jnp.sum(att[..., None] * feats, axis=1)  # [B, L]
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        lead = batch["user"].shape
+        r, w = batch["user_doc"].shape[-2:]
+        udoc = batch["user_doc"].reshape(-1, r, w)
+        idoc = batch["item_doc"].reshape(-1, r, w)
+        b = udoc.shape[0]
+        user_id = batch["user"].reshape(-1)
+        item_id = batch["item"].reshape(-1)
+        who_gave = batch["users_who_gave"].reshape(b, -1)[:, :r]
+        reviewed = batch["items_reviewed"].reshape(b, -1)[:, :r]
+
+        ue = self.param("user_embedding", xavier_uniform(),
+                        (self.num_user_rows, self.latent_size))
+        ie = self.param("item_embedding", xavier_uniform(),
+                        (self.num_item_rows, self.latent_size))
+
+        # Per-review encoding: fold reviews into the batch axis
+        # (NARRE.py:99-104), one TextCNN per side.
+        uw = jnp.take(self.word_vectors, udoc.reshape(b * r, w), axis=0)
+        iw = jnp.take(self.word_vectors, idoc.reshape(b * r, w), axis=0)
+        uf = TextCNN(self.latent_size, self.dropout, name="user_conv")(
+            uw, train=train).reshape(b, r, -1)
+        itf = TextCNN(self.latent_size, self.dropout, name="item_conv")(
+            iw, train=train).reshape(b, r, -1)
+
+        # Review-level attention with neighbor ids as context
+        # (NARRE.py:110-113): the user's reviews attend over the items
+        # they were written about, and vice versa.
+        u_att = self._attend(
+            uf, jnp.take(ie, reviewed, axis=0),
+            ScorerMLP(self.latent_size, self.dropout, name="att_user"),
+            train)
+        i_att = self._attend(
+            itf, jnp.take(ue, who_gave, axis=0),
+            ScorerMLP(self.latent_size, self.dropout, name="att_item"),
+            train)
+
+        drop = nn.Dropout(self.dropout, deterministic=not train)
+        u = u_att + drop(jnp.take(ue, user_id, axis=0))
+        i = i_att + drop(jnp.take(ie, item_id, axis=0))
+
+        rating = MLPTower((self.latent_size, 1), dropout=self.dropout,
+                          name="final")(u * i, train=train)[..., 0]
+
+        ub = self.param("user_bias", nn.initializers.constant(0.1),
+                        (self.num_user_rows,))
+        ib = self.param("item_bias", nn.initializers.constant(0.1),
+                        (self.num_item_rows,))
+        gb = self.param("global_bias", nn.initializers.constant(4.0), (1,))
+        out = (rating + jnp.take(ub, user_id, axis=0)
+               + jnp.take(ib, item_id, axis=0) + gb[0])
+        return out.reshape(lead)

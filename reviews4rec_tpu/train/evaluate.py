@@ -29,7 +29,11 @@ def make_apply_fn(model) -> Callable:
     """Uniform functional interface over a flax module."""
 
     def apply_fn(params, batch, train: bool, rng):
-        rngs = {"dropout": rng} if train else {}
+        if train:
+            d, g = jax.random.split(rng)
+            rngs = {"dropout": d, "gumbel": g}
+        else:
+            rngs = {}
         return model.apply({"params": params}, batch, train=train, rngs=rngs)
 
     return apply_fn

@@ -41,6 +41,16 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(hp: HyperParams) -> optax.GradientTransformation:
+    if hp.model_type == "MPCN":
+        # The MPCN stack trains with Adam(1e-3), global-norm clip 1 and
+        # L2 1e-8 (MPCN/parser.py:92-99,160-163; model.py:735-741 adds
+        # l2_reg * sum(l2_loss(w)) to the cost, whose gradient is
+        # l2_reg * w, i.e. additive decay before clipping).
+        return optax.chain(
+            optax.add_decayed_weights(hp.mpcn_l2),
+            optax.clip_by_global_norm(hp.mpcn_clip_norm),
+            optax.adam(hp.mpcn_lr),
+        )
     return optax.chain(
         optax.add_decayed_weights(hp.weight_decay),
         optax.adam(hp.lr),

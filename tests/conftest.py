@@ -1,13 +1,17 @@
 """Test harness: force CPU with 8 virtual devices so sharding tests run
-without TPU hardware, before jax initializes."""
+without TPU hardware.
+
+Note: this environment's axon harness force-registers the TPU platform
+from sitecustomize *after* env parsing, so `JAX_PLATFORMS=cpu` in the
+environment is not enough — the config must be updated before backend
+initialization."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
