@@ -1,0 +1,369 @@
+"""HFT: Hidden Factors as Topics (McAuley & Leskovec), the TPU-native
+replacement for the reference's C++/OpenMP/liblbfgs binary
+(`HFT/language.cpp`, `HFT/language.hpp`, `HFT/common.hpp`).
+
+The model couples matrix factorization with an LDA-like topic model:
+  rating(u, i) = alpha + beta_u + beta_i + gamma_u . gamma_i
+                                      (prediction, language.cpp:138-146)
+where the item factors gamma_i double as topic proportions through
+  theta_i[k] proportional to exp(kappa * gamma_i[k])   (topicZ, :149-154)
+and each word w in a review of item i carries a latent topic z with
+  p(z=k) proportional to exp(kappa*gamma_i[k] + bg_w + topicWords[w,k])
+                                      (updateTopics, language.cpp:184-219)
+
+Training alternates (train(), language.cpp:656-701):
+  M-step: L-BFGS on the energy lsq() = squared rating error
+          - lambda * [topic + word log-likelihood terms]
+          + latentReg * ||gamma||^2          (language.cpp:335-381)
+          with the per-item/word topic-assignment counts held fixed;
+  E-step: resample every token's topic and rebuild the count tables
+          (language.cpp:168-238), then shift each word's mean topic
+          weight into the background (normalizeWordWeights, :476-488).
+
+TPU-native design: the E-step's sequential per-token sampling loop is
+embarrassingly parallel (topic probabilities depend only on parameters,
+never on the evolving counts), so it becomes one
+`jax.random.categorical` over [num_tokens, K] logits with scatter-add
+count rebuilds; the M-step is `optax.lbfgs` (zoom linesearch) under
+`lax.scan` with gradients by autodiff of the identical energy (the
+reference's hand-derived dl(), language.cpp:241-332, is the analytic
+gradient of the same expression). OpenMP partitioned loops -> XLA
+parallelism; the whole EM iteration is jit-compiled.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import HyperParams
+from ..data.corpus import ReviewDataset
+from ..utils.logging import file_write
+
+
+@dataclass
+class HFTData:
+    """Flattened corpus tensors (device-resident)."""
+
+    # train votes
+    users: jnp.ndarray      # [N] int32
+    items: jnp.ndarray      # [N] int32
+    ratings: jnp.ndarray    # [N] float32
+    # token stream over all train reviews (HFT vocab ids)
+    tok_word: jnp.ndarray   # [T] int32
+    tok_item: jnp.ndarray   # [T] int32
+    item_words: jnp.ndarray  # [I] int32: tokens per item (beerWords)
+    # eval splits
+    eval_sets: Dict[str, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+    # negatives [M, 6]
+    neg_users: jnp.ndarray
+    neg_items: jnp.ndarray
+    num_users: int
+    num_items: int
+    num_words: int
+    # per-user/item total vote counts over ALL splits (votesPerUser in
+    # common.hpp includes every split; used for the beta init divisor,
+    # language.hpp:140-143)
+    votes_per_user: jnp.ndarray
+    votes_per_item: jnp.ndarray
+
+
+def build_hft_data(hp: HyperParams, dataset: ReviewDataset,
+                   vocab_cap: Optional[int] = None) -> HFTData:
+    """Flatten the dataset into HFT tensors with the reference's own
+    frequency-capped dictionary (common.hpp:150-162 keeps the top-5000
+    words; others are dropped from the token stream)."""
+    cap = vocab_cap or hp.hft_vocab
+    tr = dataset.splits["train"]
+
+    # Word frequency over train reviews (insertion order = train order).
+    freq: Dict[int, int] = {}
+    for x in range(len(tr)):
+        u, i = int(tr.user[x]), int(tr.item[x])
+        ui, _ = dataset.this_index[(u, i)]
+        for w in dataset.user_reviews[u][ui]:
+            freq[int(w)] = freq.get(int(w), 0) + 1
+    keep = sorted(freq, key=lambda w: (-freq[w], w))[:cap]
+    remap = {w: j for j, w in enumerate(keep)}
+    num_words = len(keep)
+
+    tok_word, tok_item = [], []
+    for x in range(len(tr)):
+        u, i = int(tr.user[x]), int(tr.item[x])
+        ui, _ = dataset.this_index[(u, i)]
+        for w in dataset.user_reviews[u][ui]:
+            j = remap.get(int(w))
+            if j is not None:
+                tok_word.append(j)
+                tok_item.append(i)
+
+    item_words = np.bincount(tok_item, minlength=dataset.num_items) \
+        if tok_item else np.zeros(dataset.num_items, np.int64)
+
+    vpu = np.bincount(
+        np.concatenate([dataset.splits[s].user for s in
+                        ("train", "test", "val")]),
+        minlength=dataset.num_users)
+    vpi = np.bincount(
+        np.concatenate([dataset.splits[s].item for s in
+                        ("train", "test", "val")]),
+        minlength=dataset.num_items)
+
+    eval_sets = {
+        s: (jnp.asarray(dataset.splits[s].user),
+            jnp.asarray(dataset.splits[s].item),
+            jnp.asarray(dataset.splits[s].rating))
+        for s in ("train", "test", "val")
+    }
+
+    m = dataset.neg_cands.shape[0]
+    return HFTData(
+        users=jnp.asarray(tr.user), items=jnp.asarray(tr.item),
+        ratings=jnp.asarray(tr.rating),
+        tok_word=jnp.asarray(np.asarray(tok_word, np.int32)),
+        tok_item=jnp.asarray(np.asarray(tok_item, np.int32)),
+        item_words=jnp.asarray(item_words.astype(np.int32)),
+        eval_sets=eval_sets,
+        neg_users=jnp.asarray(np.repeat(dataset.neg_users[:, None], 6,
+                                        axis=1)),
+        neg_items=jnp.asarray(dataset.neg_cands),
+        num_users=dataset.num_users, num_items=dataset.num_items,
+        num_words=max(num_words, 1),
+        votes_per_user=jnp.asarray(np.maximum(vpu, 1).astype(np.float32)),
+        votes_per_item=jnp.asarray(np.maximum(vpi, 1).astype(np.float32)),
+    )
+
+
+def _predict(params, users, items):
+    return (params["alpha"]
+            + params["beta_u"][users] + params["beta_i"][items]
+            + jnp.sum(params["gamma_u"][users] * params["gamma_i"][items],
+                      axis=-1))
+
+
+def make_energy(data: HFTData, hp: HyperParams):
+    lam, lreg = hp.lamda, hp.latent_reg
+
+    def energy(params, counts, background):
+        # rating term (language.cpp:340-345)
+        err = _predict(params, data.users, data.items) - data.ratings
+        res = jnp.sum(err * err)
+
+        # item-topic term (language.cpp:347-355)
+        kappa = params["kappa"]
+        act = kappa * params["gamma_i"]                    # [I, K]
+        logz = jax.nn.logsumexp(act, axis=1, keepdims=True)
+        res += -lam * jnp.sum(counts["item_topic"] * (act - logz))
+
+        # latent regularizer (language.cpp:357-366)
+        res += lreg * (jnp.sum(params["gamma_u"] ** 2)
+                       + jnp.sum(params["gamma_i"] ** 2))
+
+        # word-topic term (language.cpp:368-376)
+        wact = background[:, None] + params["topic_words"]  # [V, K]
+        wlogz = jax.nn.logsumexp(wact, axis=0, keepdims=True)
+        res += -lam * jnp.sum(counts["word_topic"] * (wact - wlogz))
+        return res
+
+    return energy
+
+
+def init_params(data: HFTData, hp: HyperParams, verbose=print):
+    """Parameter init mirroring language.hpp:113-240: alpha = mean train
+    rating, beta = mean residual (divided by ALL-split vote counts), both
+    zeroed again when lambda > 0; gammas/topicWords zero; background =
+    relative word frequency."""
+    K = hp.latent_size
+    params = {
+        "alpha": jnp.asarray(jnp.mean(data.ratings)),
+        "kappa": jnp.asarray(1.0),
+        "beta_u": jnp.zeros(data.num_users),
+        "beta_i": jnp.zeros(data.num_items),
+        "gamma_u": jnp.zeros((data.num_users, K)),
+        "gamma_i": jnp.zeros((data.num_items, K)),
+        "topic_words": jnp.zeros((data.num_words, K)),
+    }
+    # offset-only sanity staircase (language.hpp:129-131)
+    errs = {s: float(jnp.mean((_predict(params, u, i) - r) ** 2))
+            for s, (u, i, r) in data.eval_sets.items()}
+    verbose(f"Error w/ offset term only (train/valid/test) = "
+            f"{errs['train']:.6f}/{errs['val']:.6f}/{errs['test']:.6f}")
+
+    resid = data.ratings - params["alpha"]
+    beta_u = jnp.zeros(data.num_users).at[data.users].add(resid) \
+        / data.votes_per_user
+    beta_i = jnp.zeros(data.num_items).at[data.items].add(resid) \
+        / data.votes_per_item
+    params = {**params, "beta_u": beta_u, "beta_i": beta_i}
+    errs = {s: float(jnp.mean((_predict(params, u, i) - r) ** 2))
+            for s, (u, i, r) in data.eval_sets.items()}
+    verbose(f"Error w/ offset and bias (train/valid/test) = "
+            f"{errs['train']:.6f}/{errs['val']:.6f}/{errs['test']:.6f}")
+
+    if hp.lamda > 0:
+        # "the model works better if we initialize none of these terms"
+        # (language.hpp:147-155)
+        params = {**params,
+                  "alpha": jnp.asarray(0.0),
+                  "beta_u": jnp.zeros(data.num_users),
+                  "beta_i": jnp.zeros(data.num_items)}
+    else:
+        rng = jax.random.PRNGKey(hp.seed)
+        r1, r2 = jax.random.split(rng)
+        params = {**params,
+                  "gamma_u": jax.random.uniform(r1, (data.num_users, K)),
+                  "gamma_i": jax.random.uniform(r2, (data.num_items, K))}
+
+    total = jnp.maximum(data.tok_word.shape[0], 1)
+    background = (jnp.zeros(data.num_words).at[data.tok_word].add(1.0)
+                  / total)
+    return params, background
+
+
+@partial(jax.jit, static_argnames=("K",))
+def e_step(params, background, tok_word, tok_item, K: int, rng):
+    """Vectorized Gibbs resampling of every token's topic + count-table
+    rebuild (updateTopics, language.cpp:168-238). Per-token probabilities
+    depend only on parameters, so all tokens sample in parallel."""
+    logits = (params["kappa"] * params["gamma_i"][tok_item]
+              + background[tok_word][:, None]
+              + params["topic_words"][tok_word])        # [T, K]
+    topics = jax.random.categorical(rng, logits, axis=-1)  # [T]
+    onehot = jax.nn.one_hot(topics, K, dtype=jnp.float32)
+    word_topic = jnp.zeros((background.shape[0], K)).at[tok_word].add(onehot)
+    item_topic = jnp.zeros((params["gamma_i"].shape[0], K)) \
+        .at[tok_item].add(onehot)
+    return {"word_topic": word_topic, "item_topic": item_topic,
+            "topic_counts": jnp.sum(onehot, axis=0)}
+
+
+def normalize_word_weights(params, background):
+    """Shift each word's mean topic weight into the background
+    (normalizeWordWeights, language.cpp:476-488)."""
+    av = jnp.mean(params["topic_words"], axis=1, keepdims=True)
+    return ({**params, "topic_words": params["topic_words"] - av},
+            background + av[:, 0])
+
+
+def make_m_step(energy, grad_iters: int):
+    opt = optax.lbfgs()
+
+    @jax.jit
+    def m_step(params, counts, background):
+        fn = lambda p: energy(p, counts, background)
+        value_and_grad = optax.value_and_grad_from_state(fn)
+
+        def body(carry, _):
+            p, state = carry
+            value, grad = value_and_grad(p, state=state)
+            updates, state = opt.update(grad, state, p, value=value,
+                                        grad=grad, value_fn=fn)
+            p = optax.apply_updates(p, updates)
+            return (p, state), value
+
+        (params_out, _), values = jax.lax.scan(
+            body, (params, opt.init(params)), None, length=grad_iters)
+        return params_out, values[-1]
+
+    return m_step
+
+
+class HFTTrainer:
+    """EM driver (train(), language.cpp:656-701): per iteration one
+    L-BFGS M-step, one sampling E-step + word-weight normalization, and
+    best-validation snapshotting of predictions/metrics."""
+
+    def __init__(self, hp: HyperParams, dataset: ReviewDataset,
+                 verbose=lambda *_: None):
+        self.hp = hp
+        self.data = build_hft_data(hp, dataset)
+        self.dataset = dataset
+        self.energy = make_energy(self.data, hp)
+        self.m_step = make_m_step(self.energy, hp.hft_grad_iters)
+        self.verbose = verbose
+
+    def errors(self, params):
+        return {s: float(jnp.mean((_predict(params, u, i) - r) ** 2))
+                for s, (u, i, r) in self.data.eval_sets.items()}
+
+    def ranking(self, params) -> float:
+        """HR@1 over the 6-candidate groups (calculateHR,
+        language.cpp:529-562; ties break toward the higher candidate
+        index in the C++ set ordering, i.e. a tied positive does NOT
+        count as a hit)."""
+        preds = _predict(params, self.data.neg_users, self.data.neg_items)
+        pos = preds[:, :1]
+        hit = jnp.sum(preds[:, 1:] >= pos, axis=1) == 0
+        return float(100.0 * jnp.mean(hit.astype(jnp.float32)))
+
+    def count_maps(self, params):
+        u, i, r = self.data.eval_sets["test"]
+        err = np.asarray((_predict(params, u, i) - r) ** 2)
+        ucnt = np.asarray(self.dataset.user_count)[np.asarray(u)]
+        icnt = np.asarray(self.dataset.item_count)[np.asarray(i)]
+        ucm: Dict[int, list] = {}
+        icm: Dict[int, list] = {}
+        for c, e in zip(ucnt, err):
+            ucm.setdefault(int(c), []).append(float(e))
+        for c, e in zip(icnt, err):
+            icm.setdefault(int(c), []).append(float(e))
+        return ucm, icm
+
+    def fit(self, em_iters: Optional[int] = None):
+        hp = self.hp
+        em_iters = em_iters or hp.hft_em_iters
+        K = hp.latent_size
+        rng = jax.random.PRNGKey(hp.seed)
+
+        params, background = init_params(self.data, hp, self.verbose)
+        rng, r0 = jax.random.split(rng)
+        counts = e_step(params, background, self.data.tok_word,
+                        self.data.tok_item, K, r0)
+
+        best_valid = float("inf")
+        best = {"params": params, "background": background}
+        for it in range(em_iters):
+            params, energy_val = self.m_step(params, counts, background)
+            if hp.lamda > 0:
+                rng, rs = jax.random.split(rng)
+                counts = e_step(params, background, self.data.tok_word,
+                                self.data.tok_item, K, rs)
+                params, background = normalize_word_weights(params,
+                                                            background)
+            errs = self.errors(params)
+            self.verbose(
+                f"iter {it}: energy={float(energy_val):.2f} "
+                f"errors train/valid/test = {errs['train']:.4f}/"
+                f"{errs['val']:.4f}/{errs['test']:.4f}")
+            if errs["val"] < best_valid:
+                best_valid = errs["val"]
+                best = {"params": params, "background": background,
+                        "errors": errs}
+
+        self.params = best["params"]
+        self.background = best["background"]
+        self.best_errors = best.get("errors", self.errors(self.params))
+        return self
+
+    def top_words(self, k: int = 10):
+        """Top words per topic (topWords, language.cpp:457-473)."""
+        tw = np.asarray(self.params["topic_words"])
+        return [list(np.argsort(-tw[:, t])[:k]) for t in range(tw.shape[1])]
+
+
+def run_hft(hp: HyperParams, dataset: ReviewDataset, quiet: bool = True):
+    verbose = (lambda *_: None) if quiet else print
+    trainer = HFTTrainer(hp, dataset, verbose=verbose).fit()
+    metrics = {
+        "MSE": round(trainer.best_errors["test"], 4),
+        "HR@1": round(trainer.ranking(trainer.params), 2),
+    }
+    ucm, icm = trainer.count_maps(trainer.params)
+    return metrics, ucm, icm

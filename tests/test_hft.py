@@ -1,0 +1,150 @@
+"""HFT EM tests: energy/gradient parity with the reference's analytic
+derivative, E-step count consistency, and the bias-staircase anchor."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reviews4rec_tpu.models.hft import (HFTTrainer, build_hft_data, e_step,
+                                        init_params, make_energy,
+                                        normalize_word_weights, run_hft)
+
+
+@pytest.fixture(scope="module")
+def hft_setup(dataset, hp_base):
+    hp = hp_base.replace(model_type="HFT", latent_size=4, hft_em_iters=3,
+                         hft_grad_iters=8)
+    data = build_hft_data(hp, dataset)
+    return hp, data
+
+
+def test_vocab_cap(dataset, hp_base):
+    hp = hp_base.replace(model_type="HFT")
+    data = build_hft_data(hp, dataset, vocab_cap=20)
+    assert data.num_words <= 20
+    assert int(data.tok_word.max()) < 20
+    assert data.tok_word.shape == data.tok_item.shape
+
+
+def test_estep_counts(hft_setup):
+    hp, data = hft_setup
+    params, background = init_params(data, hp, lambda *_: None)
+    counts = e_step(params, background, data.tok_word, data.tok_item,
+                    hp.latent_size, jax.random.PRNGKey(0))
+    T = data.tok_word.shape[0]
+    assert float(counts["word_topic"].sum()) == T
+    assert float(counts["item_topic"].sum()) == T
+    assert float(counts["topic_counts"].sum()) == T
+    # per-item counts match tokens per item (beerWords)
+    assert np.allclose(np.asarray(counts["item_topic"].sum(axis=1)),
+                       np.asarray(data.item_words))
+
+
+def test_energy_gradient_matches_reference_analytic(hft_setup):
+    """Autodiff of the energy must equal the reference's hand-derived
+    gradient (dl(), language.cpp:241-332) on a random point."""
+    hp, data = hft_setup
+    params, background = init_params(data, hp, lambda *_: None)
+    rng = jax.random.PRNGKey(1)
+    keys = jax.random.split(rng, 7)
+    params = {
+        "alpha": jnp.asarray(0.3),
+        "kappa": jnp.asarray(0.7),
+        "beta_u": 0.1 * jax.random.normal(keys[0], params["beta_u"].shape),
+        "beta_i": 0.1 * jax.random.normal(keys[1], params["beta_i"].shape),
+        "gamma_u": 0.1 * jax.random.normal(keys[2], params["gamma_u"].shape),
+        "gamma_i": 0.1 * jax.random.normal(keys[3], params["gamma_i"].shape),
+        "topic_words": 0.1 * jax.random.normal(keys[4],
+                                               params["topic_words"].shape),
+    }
+    counts = e_step(params, background, data.tok_word, data.tok_item,
+                    hp.latent_size, keys[5])
+    energy = make_energy(data, hp)
+    grads = jax.grad(lambda p: energy(p, counts, background))(params)
+
+    users = np.asarray(data.users)
+    items = np.asarray(data.items)
+    lam = hp.lamda
+
+    # analytic gradient, reference formulas
+    pred = (params["alpha"] + params["beta_u"][data.users]
+            + params["beta_i"][data.items]
+            + jnp.sum(params["gamma_u"][data.users]
+                      * params["gamma_i"][data.items], axis=-1))
+    dl = np.asarray(2.0 * (pred - data.ratings))
+
+    # dalpha = sum dl (language.cpp:258-274)
+    assert np.isclose(float(grads["alpha"]), dl.sum(), rtol=1e-4)
+    # dbeta_user
+    dbu = np.zeros(params["beta_u"].shape[0])
+    np.add.at(dbu, users, dl)
+    assert np.allclose(np.asarray(grads["beta_u"]), dbu, atol=1e-3)
+    # dgamma_user[u] += dl * gamma_i[item] (language.cpp:270-271)
+    dgu = np.zeros(params["gamma_u"].shape)
+    np.add.at(dgu, users, dl[:, None] * np.asarray(
+        params["gamma_i"])[items])
+    assert np.allclose(np.asarray(grads["gamma_u"]), dgu, atol=1e-3)
+    # dgamma_item: rating part + topic part (language.cpp:276-304)
+    dgi = np.zeros(params["gamma_i"].shape)
+    np.add.at(dgi, items, dl[:, None] * np.asarray(
+        params["gamma_u"])[users])
+    kappa = float(params["kappa"])
+    act = kappa * np.asarray(params["gamma_i"])
+    ez = np.exp(act)
+    tz = ez.sum(axis=1, keepdims=True)
+    bw = np.asarray(data.item_words, np.float64)[:, None]
+    q = -lam * (np.asarray(counts["item_topic"]) - bw * ez / tz)
+    dgi += kappa * q
+    assert np.allclose(np.asarray(grads["gamma_i"]), dgi, atol=1e-3)
+    # dkappa = sum gamma_i * q (language.cpp:302)
+    assert np.isclose(float(grads["kappa"]),
+                      (np.asarray(params["gamma_i"]) * q).sum(), rtol=1e-3)
+    # dtopicWords (language.cpp:321-327)
+    wact = np.asarray(background)[:, None] + np.asarray(
+        params["topic_words"])
+    ex = np.exp(wact)
+    wz = ex.sum(axis=0, keepdims=True)
+    tc = np.asarray(counts["topic_counts"])[None, :]
+    dtw = -lam * (np.asarray(counts["word_topic"]) - tc * ex / wz)
+    assert np.allclose(np.asarray(grads["topic_words"]), dtw, atol=1e-3)
+
+
+def test_normalize_word_weights(hft_setup):
+    hp, data = hft_setup
+    params, background = init_params(data, hp, lambda *_: None)
+    params = {**params,
+              "topic_words": jax.random.normal(
+                  jax.random.PRNGKey(0), params["topic_words"].shape)}
+    before = params["topic_words"] + background[:, None]
+    params2, background2 = normalize_word_weights(params, background)
+    # mean across topics is zero afterwards
+    assert np.allclose(np.asarray(params2["topic_words"].mean(axis=1)), 0,
+                       atol=1e-5)
+    # total word weight preserved
+    after = params2["topic_words"] + background2[:, None]
+    assert np.allclose(np.asarray(before), np.asarray(after), atol=1e-5)
+
+
+def test_hft_beats_bias_baseline(dataset, hp_base):
+    """SURVEY.md §4: the HFT-equivalent must beat the offset-only error
+    on a learnable corpus (the staircase the C++ prints,
+    language.hpp:129-145)."""
+    hp = hp_base.replace(model_type="HFT", latent_size=4, hft_em_iters=4,
+                         hft_grad_iters=10)
+    hp = dataset.apply_to(hp)
+    staircase = []
+    trainer = HFTTrainer(hp, dataset,
+                         verbose=lambda s: staircase.append(s)).fit()
+    assert "offset term only" in staircase[0]
+    assert "offset and bias" in staircase[1]
+    offset_only_test = float(staircase[0].split("/")[-1].split()[0])
+    assert trainer.best_errors["test"] < offset_only_test
+
+
+def test_run_hft_api(dataset, hp_base):
+    hp = dataset.apply_to(hp_base.replace(
+        model_type="HFT", latent_size=4, hft_em_iters=2, hft_grad_iters=5))
+    m, ucm, icm = run_hft(hp, dataset)
+    assert "MSE" in m and "HR@1" in m
+    assert sum(len(v) for v in ucm.values()) == len(dataset.splits["test"])
