@@ -131,14 +131,21 @@ class HyperParams:
 
     # Embedding-table row counts. The reference uses +1 rows for id models
     # (`MF.py:14-15`) and +2 for review models (`DeepCoNN.py:28-29`) so the
-    # sentinel id fits; we use +2 uniformly — one real-id range plus pad row.
+    # sentinel id fits; we use +2 uniformly — one real-id range plus pad
+    # row — then round up to `row_multiple` so tables divide evenly over
+    # the model mesh axis (and align to TPU sublane tiles). Extra rows are
+    # never indexed.
+    row_multiple: int = 16
+
     @property
     def num_user_rows(self) -> int:
-        return self.total_users + 2
+        return -(-(self.total_users + 2) // self.row_multiple) \
+            * self.row_multiple
 
     @property
     def num_item_rows(self) -> int:
-        return self.total_items + 2
+        return -(-(self.total_items + 2) // self.row_multiple) \
+            * self.row_multiple
 
     @property
     def vocab_rows(self) -> int:

@@ -108,9 +108,12 @@ def train_epoch(train_step, state: TrainState, batcher: Batcher,
 
 def train_complete(hp: HyperParams, model, dataset, *,
                    params=None, quiet: bool = True,
-                   eval_fn: Optional[Callable] = None):
+                   checkpoint_path: Optional[str] = None):
     """Full training run with per-epoch validation and best-val snapshot
-    (reference `train_complete`, main.py:73-136). Returns best params."""
+    (reference `train_complete`, main.py:73-136). Returns best params.
+    When `checkpoint_path` is set, the best-val params are persisted
+    there (reference main.py:123-126)."""
+    from .checkpoint import save_checkpoint
     from .evaluate import evaluate, make_apply_fn, make_eval_step
 
     apply_fn = make_apply_fn(model)
@@ -147,5 +150,10 @@ def train_complete(hp: HyperParams, model, dataset, *,
         if metrics["MSE"] < best_mse:
             best_mse = metrics["MSE"]
             best_params = state.params
+            if checkpoint_path:
+                save_checkpoint(checkpoint_path, best_params,
+                                opt_state=state.opt_state,
+                                step=int(state.step), epoch=epoch,
+                                extra={"val_mse": best_mse})
 
     return best_params, best_mse

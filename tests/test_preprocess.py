@@ -1,0 +1,124 @@
+"""Preprocessing pipeline: tokenizer goldens, k-core fixpoint property,
+end-to-end CLI run on a generated raw corpus, word2vec signal."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from reviews4rec_tpu.data.preprocess import (build_negatives, k_core_filter,
+                                             load_amazon_json, preprocess)
+from reviews4rec_tpu.data.tokenizer import build_vocab, tokenize
+from reviews4rec_tpu.data.corpus import ReviewDataset, Split
+
+
+def test_tokenizer_golden():
+    assert tokenize("I LOVED it! Don't you?") == \
+        ["i", "loved", "it", "don", "t", "you"]
+    assert tokenize("great-sounding strings, really") == \
+        ["great", "sounding", "strings", "really"]
+    assert tokenize("") == []
+
+
+def test_vocab_unk_and_order():
+    lists = [["a", "b", "a"], ["c", "a", "b"]]
+    wm, num_words = build_vocab(lists, cap=50000)
+    # ids assigned in first-appearance order starting at 1
+    assert wm["a"] == 1 and wm["b"] == 2 and wm["c"] == 3
+    assert num_words == 3
+    # cap: only words with count >= count of the cap-th word survive
+    wm2, n2 = build_vocab(lists, cap=1)
+    assert wm2["a"] == 1      # most frequent survives
+    assert wm2["c"] == 0      # rare word -> UNK
+    assert n2 >= 1
+
+
+def _raw_corpus(num_users=30, num_items=20, per_user=8, seed=0):
+    rng = np.random.default_rng(seed)
+    words = ["guitar", "strings", "sound", "great", "cheap", "broke",
+             "love", "quality", "bad", "amp"]
+    recs = []
+    for u in range(num_users):
+        items = rng.choice(num_items, size=per_user, replace=False)
+        for i in items:
+            recs.append({
+                "reviewerID": f"u{u}",
+                "asin": f"i{i}",
+                "overall": float(rng.integers(1, 6)),
+                "reviewText": " ".join(rng.choice(words, size=12)),
+            })
+    return recs
+
+
+def test_kcore_fixpoint():
+    recs = _raw_corpus()
+    # remove most of user u0's interactions so it falls below the core
+    recs = [r for r in recs if r["reviewerID"] != "u0"][:-3]
+    kept, umap, imap = k_core_filter(recs, k_core=5)
+    ucnt, icnt = {}, {}
+    for r in kept:
+        ucnt[r["reviewerID"]] = ucnt.get(r["reviewerID"], 0) + 1
+        icnt[r["asin"]] = icnt.get(r["asin"], 0) + 1
+    assert all(c >= 5 for c in ucnt.values())
+    assert all(c >= 5 for c in icnt.values())
+    # dense id ranges
+    assert sorted(umap.values()) == list(range(len(umap)))
+
+
+def test_preprocess_end_to_end(tmp_path):
+    recs = _raw_corpus(num_users=40, num_items=25, per_user=10)
+    ds = preprocess(recs, k_core=3, w2v_epochs=2,
+                    verbose=lambda *_: None)
+    n = len(ds.splits["train"]) + len(ds.splits["test"]) + \
+        len(ds.splits["val"])
+    assert abs(len(ds.splits["train"]) - 0.8 * n) <= 1
+    assert ds.word_vectors.shape == (ds.num_words + 1, 64)
+    # review maps consistent
+    for (u, i), (ui, iu) in list(ds.this_index.items())[:20]:
+        assert ds.u_to_i[u][ui] == i
+        assert ds.i_to_u[i][iu] == u
+    # persists + reloads
+    path = str(tmp_path / "mi")
+    ds.save(path)
+    ds2 = ReviewDataset.load(path)
+    assert ds2.num_users == ds.num_users
+
+
+def test_percent_reviews_dropout():
+    recs = _raw_corpus(num_users=40, num_items=25, per_user=10)
+    ds100 = preprocess(recs, k_core=3, w2v_epochs=1,
+                       verbose=lambda *_: None)
+    ds10 = preprocess(recs, k_core=3, percent_reviews_to_keep=10,
+                      w2v_epochs=1, verbose=lambda *_: None)
+    n100 = sum(len(r) for revs in ds100.user_reviews for r in revs)
+    n10 = sum(len(r) for revs in ds10.user_reviews for r in revs)
+    assert n10 < n100 * 0.35
+    # ratings identical: dropout touches text only
+    assert np.array_equal(ds100.splits["train"].rating,
+                          ds10.splits["train"].rating)
+
+
+def test_build_negatives_strict():
+    test = Split.from_triples(
+        [[0, 1, 5.0], [0, 2, 3.0], [0, 3, 2.0], [0, 4, 1.0], [0, 5, 3.5],
+         [0, 6, 2.5], [0, 7, 4.0],
+         [1, 1, 5.0], [1, 2, 3.0]])  # user 1 lacks 5 negatives
+    users, cands = build_negatives(test, num_negs=5, seed=0)
+    assert list(users) == [0]
+    assert cands[0, 0] == 1
+    assert set(cands[0, 1:]) <= {2, 3, 4, 5, 6, 7}
+
+
+def test_cli(tmp_path):
+    from reviews4rec_tpu.data.preprocess import main
+    raw = tmp_path / "raw.json"
+    with open(raw, "w") as f:
+        for r in _raw_corpus(num_users=35, num_items=20, per_user=9):
+            f.write(json.dumps(r) + "\n")
+    out = tmp_path / "data"
+    main(["mini", str(raw), "--k-core", "3", "--out", str(out),
+          "--w2v-epochs", "1"])
+    assert (out / "mini" / "3_core" / "corpus.npz").exists()
+    ds = ReviewDataset.load(str(out / "mini" / "3_core"))
+    assert ds.num_users > 0
