@@ -59,6 +59,8 @@ class TextCNN(nn.Module):
     dropout: float = 0.6
     num_filters: int = 100
     window: int = 3
+    use_pallas: bool = False       # fused conv+relu+maxpool kernel
+    pallas_interpret: bool = False  # interpreter mode (CPU tests)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -69,13 +71,17 @@ class TextCNN(nn.Module):
                             (w * e, self.num_filters))
         bias = self.param("conv_bias", nn.initializers.zeros,
                           (self.num_filters,))
-        # torch Conv2d pads (window-1) on both time ends -> T + w - 1 outputs
-        xp = jnp.pad(x, ((0, 0), (w - 1, w - 1), (0, 0)))
-        # windows: [B, T+w-1, w, E] -> flatten tap axis -> one big matmul
-        idx = (jnp.arange(t + w - 1)[:, None] + jnp.arange(w)[None, :])
-        windows = xp[:, idx, :].reshape(b, t + w - 1, w * e)
-        y = jax.nn.relu(windows @ kernel + bias)       # [B, T+w-1, F]
-        y = jnp.max(y, axis=1)                         # pool over time
+        if self.use_pallas:
+            from ..ops.textcnn_pallas import textcnn_pool
+            y = textcnn_pool(x, kernel, bias, w, self.pallas_interpret)
+        else:
+            # torch Conv2d pads (window-1) on both ends -> T+w-1 outputs
+            xp = jnp.pad(x, ((0, 0), (w - 1, w - 1), (0, 0)))
+            # windows [B, T+w-1, w, E] -> flat tap axis -> one big matmul
+            idx = (jnp.arange(t + w - 1)[:, None] + jnp.arange(w)[None, :])
+            windows = xp[:, idx, :].reshape(b, t + w - 1, w * e)
+            y = jax.nn.relu(windows @ kernel + bias)   # [B, T+w-1, F]
+            y = jnp.max(y, axis=1)                     # pool over time
         y = nn.Dense(self.latent_size, kernel_init=xavier_uniform(),
                      name="fc")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
