@@ -97,13 +97,18 @@ def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
 
 def train_epoch(train_step, state: TrainState, batcher: Batcher,
                 rng) -> Tuple[TrainState, Dict]:
+    from .profiler import Throughput, annotate
+
+    tp = Throughput()
     sq_sum, n = 0.0, 0.0
     for batch in batcher:
         rng, step_rng = jax.random.split(rng)
-        state, m = train_step(state, batch, step_rng)
+        with annotate("train_step"):
+            state, m = train_step(state, batch, step_rng)
         sq_sum += float(m["sq_sum"])
         n += float(m["n"])
-    return state, {"MSE": round(sq_sum / max(n, 1.0), 4)}
+        tp.add(float(m["n"]))
+    return state, {"MSE": round(sq_sum / max(n, 1.0), 4), **tp.metrics()}
 
 
 def train_complete(hp: HyperParams, model, dataset, *,
@@ -146,6 +151,7 @@ def train_complete(hp: HyperParams, model, dataset, *,
                                            epoch_rng)
         metrics, _, _ = evaluate(eval_step, state.params, val_b, hp,
                                  dataset.user_count, dataset.item_count)
+        metrics["examples_per_s"] = train_metrics["examples_per_s"]
         log_end_epoch(log, metrics, epoch, time.time() - t0, quiet=quiet)
         if metrics["MSE"] < best_mse:
             best_mse = metrics["MSE"]
