@@ -1,0 +1,445 @@
+"""Corpus store + record materialization.
+
+`ReviewDataset` holds the preprocessed corpus (rating triples per split,
+per-entity review lists, the (u,i) -> review-index maps used for
+leakage removal, held-out eval reviews, negative sets, word vectors) and
+materializes fixed-shape int32 record tensors per model layout — the
+TPU-ready analogue of the reference's HDF5 "quick data"
+(`data_scripts/make_quick_data.py:21-44`), produced with the exact
+semantics of the reference's online loader:
+
+- leakage removal on the train split: the (u,i) pair's own review is
+  dropped from both the user's and the item's review list and returned
+  separately as `this_doc` (reference `remove_overlap`,
+  `data.py:212-248`); eval splits keep everything and `this_doc` is the
+  held-out review from `test_reviews.pkl` semantics.
+- doc layouts: concatenate-all (`pad_and_join`, data.py:174-210) for
+  DeepCoNN/TransNet (1 row x input_length words) vs per-review
+  (`pad_only`, data.py:146-172) for NARRE (10x100) and MPCN
+  (dmax x smax).
+- neighbor-id lists padded to exactly 10 slots with the sentinel id
+  `total + 1` (data.py:274-279).
+
+The hot path (assembling records from the ragged store) runs through
+the native C++/OpenMP materializer (`native/materialize.cc`) when the
+toolchain is available, with a byte-identical pure-numpy fallback.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.io import load_npz, save_npz
+
+NEIGHBOR_SLOTS = 10  # reference pads neighbor lists to 10 (data.py:274-279)
+
+
+@dataclass
+class Split:
+    """One rating split: parallel (user, item, rating) arrays
+    (reference train/test/val.pkl lists of [u, i, r],
+    preprocess_random_split.py:278-283)."""
+
+    user: np.ndarray
+    item: np.ndarray
+    rating: np.ndarray
+
+    @classmethod
+    def from_triples(cls, triples: Sequence[Sequence[float]]) -> "Split":
+        if len(triples) == 0:
+            return cls(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                       np.zeros(0, np.float32))
+        arr = np.asarray(triples, np.float64)
+        return cls(arr[:, 0].astype(np.int32), arr[:, 1].astype(np.int32),
+                   arr[:, 2].astype(np.float32))
+
+    def __len__(self) -> int:
+        return int(self.user.shape[0])
+
+
+def _doc_layout(hp) -> Tuple[int, int]:
+    """(rows, words) per model family. rows == 1 -> concatenated doc."""
+    if hp.model_type == "NARRE":
+        return hp.narre_num_reviews, hp.narre_num_words
+    if hp.model_type == "MPCN":
+        return hp.mpcn_dmax, hp.mpcn_smax
+    return 1, hp.input_length
+
+
+class ReviewDataset:
+    """In-memory corpus + materialization cache. Construct via
+    `build()`, `load()`, `preprocess.preprocess()` or
+    `synthetic.make_synthetic()`."""
+
+    @classmethod
+    def build(cls, *, num_users: int, num_items: int, num_words: int,
+              splits: Dict[str, Split],
+              user_reviews: List[List[np.ndarray]],
+              item_reviews: List[List[np.ndarray]],
+              u_to_i: List[List[int]], i_to_u: List[List[int]],
+              this_index: Dict[Tuple[int, int], Tuple[int, int]],
+              test_reviews: Dict[Tuple[int, int], np.ndarray],
+              neg_users: np.ndarray, neg_cands: np.ndarray,
+              word_vectors: np.ndarray) -> "ReviewDataset":
+        self = cls.__new__(cls)
+        self.num_users = int(num_users)
+        self.num_items = int(num_items)
+        self.num_words = int(num_words)
+        self.splits = splits
+        self.user_reviews = [
+            [np.asarray(r, np.int32) for r in revs] for revs in user_reviews]
+        self.item_reviews = [
+            [np.asarray(r, np.int32) for r in revs] for revs in item_reviews]
+        self.u_to_i = [list(map(int, lst)) for lst in u_to_i]
+        self.i_to_u = [list(map(int, lst)) for lst in i_to_u]
+        self.this_index = {
+            (int(u), int(i)): (int(a), int(b))
+            for (u, i), (a, b) in this_index.items()}
+        self.test_reviews = {
+            (int(u), int(i)): np.asarray(t, np.int32)
+            for (u, i), t in test_reviews.items()}
+        self.neg_users = np.asarray(neg_users, np.int32)
+        self.neg_cands = np.asarray(neg_cands, np.int32)
+        self.word_vectors = np.asarray(word_vectors, np.float32)
+        tr = splits["train"]
+        self.user_count = np.bincount(tr.user, minlength=num_users) \
+            .astype(np.int64)
+        self.item_count = np.bincount(tr.item, minlength=num_items) \
+            .astype(np.int64)
+        self._cache: Dict = {}
+        self._flat_store = None
+        return self
+
+    # ------------------------------------------------------------------
+    def apply_to(self, hp):
+        """Fill the size fields the reference's load_data injects into
+        hyper_params (data.py:468-470)."""
+        return hp.replace(total_users=self.num_users,
+                          total_items=self.num_items,
+                          total_words=self.num_words)
+
+    # ------------------------------------------------------------------
+    # Flat (CSR-style) review store shared by the native and numpy
+    # materializers. Layout contract documented in native/materialize.cc.
+    # ------------------------------------------------------------------
+    def _flat(self) -> Dict:
+        if self._flat_store is not None:
+            return self._flat_store
+
+        revs: List[np.ndarray] = []
+        base = np.zeros(self.num_users + 1, np.int64)
+        for u in range(self.num_users):
+            base[u + 1] = base[u] + len(self.user_reviews[u])
+            revs.extend(self.user_reviews[u])
+        n_train_revs = len(revs)
+
+        u_off = base.copy()
+        u_revs = np.arange(n_train_revs, dtype=np.int32)
+        u_other = np.asarray(
+            [i for lst in self.u_to_i for i in lst], np.int32)
+        if u_other.shape[0] != n_train_revs:  # tolerate partial maps
+            u_other = np.zeros(n_train_revs, np.int32)
+
+        i_off = np.zeros(self.num_items + 1, np.int64)
+        i_revs_l: List[int] = []
+        i_other_l: List[int] = []
+        for i in range(self.num_items):
+            users = self.i_to_u[i]
+            i_off[i + 1] = i_off[i] + len(users)
+            for u in users:
+                ui = self.this_index.get((u, i), (0, 0))[0]
+                i_revs_l.append(int(base[u]) + ui)
+                i_other_l.append(u)
+        i_revs = np.asarray(i_revs_l, np.int32)
+        i_other = np.asarray(i_other_l, np.int32)
+
+        # eval-split held-out reviews appended after the train reviews so
+        # `this_rev` indexes one token store for every split
+        eval_rid: Dict[Tuple[int, int], int] = {}
+        for key in sorted(self.test_reviews):
+            eval_rid[key] = len(revs)
+            revs.append(self.test_reviews[key])
+
+        if revs:
+            tokens = np.concatenate(
+                [np.asarray(r, np.int32).reshape(-1) for r in revs])
+            lens = np.asarray([len(r) for r in revs], np.int64)
+        else:
+            tokens = np.zeros(0, np.int32)
+            lens = np.zeros(0, np.int64)
+        rev_off = np.zeros(len(revs) + 1, np.int64)
+        np.cumsum(lens, out=rev_off[1:])
+
+        self._flat_store = {
+            "tokens": tokens.astype(np.int32), "rev_off": rev_off,
+            "u_revs": u_revs, "u_off": u_off, "u_other": u_other,
+            "i_revs": i_revs, "i_off": i_off, "i_other": i_other,
+            "rev_base": base, "eval_rid": eval_rid,
+        }
+        return self._flat_store
+
+    # ------------------------------------------------------------------
+    def _examples(self, split: str):
+        """(user, item, ui_idx, iu_idx, this_rev) example arrays.
+        Train: leakage-removal indices from this_index + own review id.
+        Eval: -1 indices (nothing removed), this_rev = held-out review."""
+        sp = self.splits[split]
+        flat = self._flat()
+        n = len(sp)
+        user = sp.user.astype(np.int32)
+        item = sp.item.astype(np.int32)
+        ui_idx = np.full(n, -1, np.int32)
+        iu_idx = np.full(n, -1, np.int32)
+        this_rev = np.full(n, -1, np.int32)
+        if split == "train":
+            base = flat["rev_base"]
+            for x in range(n):
+                key = (int(user[x]), int(item[x]))
+                idx = self.this_index.get(key)
+                if idx is not None:
+                    ui_idx[x], iu_idx[x] = idx
+                    this_rev[x] = int(base[user[x]]) + idx[0]
+        else:
+            rid = flat["eval_rid"]
+            for x in range(n):
+                this_rev[x] = rid.get((int(user[x]), int(item[x])), -1)
+        return user, item, ui_idx, iu_idx, this_rev
+
+    # ------------------------------------------------------------------
+    def _native_text(self, flat, user, item, ui_idx, iu_idx, this_rev,
+                     rows, words, slots, user_pad, item_pad):
+        """Native-materializer path; returns None when the toolchain is
+        unavailable (then the numpy fallback runs)."""
+        from . import native
+        return native.materialize_records(
+            flat, user, item, ui_idx, iu_idx, this_rev,
+            rows, words, slots, user_pad, item_pad)
+
+    @staticmethod
+    def _python_text(flat, user, item, ui_idx, iu_idx, this_rev,
+                     rows, words, slots, user_pad, item_pad):
+        """Pure-numpy reference materializer; must stay byte-identical to
+        native/materialize.cc (enforced by tests/test_native.py)."""
+        tokens, rev_off = flat["tokens"], flat["rev_off"]
+        u_off, u_other = flat["u_off"], flat["u_other"]
+        i_revs, i_off, i_other = flat["i_revs"], flat["i_off"], flat["i_other"]
+        u_revs = flat["u_revs"]
+        n = user.shape[0]
+
+        user_doc = np.zeros((n, rows, words), np.int32)
+        item_doc = np.zeros((n, rows, words), np.int32)
+        this_doc = np.zeros((n, rows, words), np.int32)
+        who_gave = np.full((n, slots), user_pad, np.int32)
+        reviewed = np.full((n, slots), item_pad, np.int32)
+
+        def emit_docs(revs, skip, out):
+            if rows == 1:
+                at = 0
+                for j, r in enumerate(revs):
+                    if j == skip or at >= words:
+                        continue
+                    s, e = rev_off[r], rev_off[r + 1]
+                    m = min(int(e - s), words - at)
+                    out[0, at:at + m] = tokens[s:s + m]
+                    at += m
+            else:
+                row = 0
+                for j, r in enumerate(revs):
+                    if j == skip or row >= rows:
+                        continue
+                    s, e = rev_off[r], rev_off[r + 1]
+                    m = min(int(e - s), words)
+                    out[row, :m] = tokens[s:s + m]
+                    row += 1
+
+        def emit_neighbors(other, skip, out):
+            at = 0
+            for j, o in enumerate(other):
+                if j == skip or at >= slots:
+                    continue
+                out[at] = o
+                at += 1
+
+        for x in range(n):
+            u, it = int(user[x]), int(item[x])
+            ur = u_revs[u_off[u]:u_off[u + 1]]
+            ir = i_revs[i_off[it]:i_off[it + 1]]
+            emit_docs(ur, ui_idx[x], user_doc[x])
+            emit_docs(ir, iu_idx[x], item_doc[x])
+            r = int(this_rev[x])
+            if r >= 0:
+                s, e = rev_off[r], rev_off[r + 1]
+                m = min(int(e - s), words)
+                this_doc[x, 0, :m] = tokens[s:s + m]
+            emit_neighbors(u_other[u_off[u]:u_off[u + 1]], ui_idx[x],
+                           reviewed[x])
+            emit_neighbors(i_other[i_off[it]:i_off[it + 1]], iu_idx[x],
+                           who_gave[x])
+
+        return {"user_doc": user_doc, "item_doc": item_doc,
+                "this_doc": this_doc, "users_who_gave": who_gave,
+                "items_reviewed": reviewed}
+
+    def _text_records(self, hp, user, item, ui_idx, iu_idx, this_rev):
+        rows, words = _doc_layout(hp)
+        flat = self._flat()
+        out = self._native_text(flat, user, item, ui_idx, iu_idx, this_rev,
+                                rows, words, NEIGHBOR_SLOTS,
+                                hp.user_pad_id, hp.item_pad_id)
+        if out is None:
+            out = self._python_text(flat, user, item, ui_idx, iu_idx,
+                                    this_rev, rows, words, NEIGHBOR_SLOTS,
+                                    hp.user_pad_id, hp.item_pad_id)
+        if rows == 1:
+            for k in ("user_doc", "item_doc", "this_doc"):
+                out[k] = out[k].reshape(user.shape[0], words)
+        return out
+
+    # ------------------------------------------------------------------
+    def materialize(self, hp, split: str) -> Dict[str, np.ndarray]:
+        """Fixed-shape record tensors for one split under one model
+        layout (cached). Review families add doc + neighbor tensors."""
+        with_text = hp.family == "review"
+        key = (split, _doc_layout(hp) if with_text else "id",
+               hp.user_pad_id if with_text else 0)
+        if key in self._cache:
+            return self._cache[key]
+        sp = self.splits[split]
+        recs = {"user": sp.user.astype(np.int32),
+                "item": sp.item.astype(np.int32),
+                "rating": sp.rating.astype(np.float32)}
+        if with_text:
+            user, item, ui_idx, iu_idx, this_rev = self._examples(split)
+            recs.update(self._text_records(hp, user, item, ui_idx, iu_idx,
+                                           this_rev))
+        self._cache[key] = recs
+        return recs
+
+    def materialize_negs(self, hp) -> Dict[str, np.ndarray]:
+        """Candidate-grid records for ranking eval: [M, C] ids (positive
+        in column 0), plus doc tensors for review models. Mirrors the
+        reference's `iter_negs` 6-candidate batches (data.py:375-447);
+        no leakage removal (test-time), `this_doc` stays zero."""
+        with_text = hp.family == "review"
+        key = ("negs", _doc_layout(hp) if with_text else "id",
+               hp.user_pad_id if with_text else 0)
+        if key in self._cache:
+            return self._cache[key]
+        m, c = self.neg_cands.shape
+        user = np.repeat(self.neg_users, c).reshape(m, c).astype(np.int32)
+        item = self.neg_cands.astype(np.int32)
+        recs = {"user": user, "item": item,
+                "rating": np.zeros((m, c), np.float32)}
+        if with_text:
+            fu = user.reshape(-1)
+            fi = item.reshape(-1)
+            neg1 = np.full(m * c, -1, np.int32)
+            out = self._text_records(hp, fu, fi, neg1, neg1, neg1)
+            for k, v in out.items():
+                recs[k] = v.reshape((m, c) + v.shape[1:])
+        self._cache[key] = recs
+        return recs
+
+    # ------------------------------------------------------------------
+    # Persistence: one compressed .npz per dataset directory (replaces
+    # the reference's pickle zoo, preprocess_random_split.py:271-298).
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        arrays: Dict[str, np.ndarray] = {
+            "meta": np.asarray([self.num_users, self.num_items,
+                                self.num_words], np.int64),
+            "neg_users": self.neg_users, "neg_cands": self.neg_cands,
+            "word_vectors": self.word_vectors,
+        }
+        for s in ("train", "test", "val"):
+            sp = self.splits[s]
+            arrays[f"{s}_user"] = sp.user
+            arrays[f"{s}_item"] = sp.item
+            arrays[f"{s}_rating"] = sp.rating
+
+        # ragged user reviews, user-major
+        flat_revs = [r for revs in self.user_reviews for r in revs]
+        arrays["ur_tokens"] = (np.concatenate(flat_revs)
+                               if flat_revs else np.zeros(0, np.int32))
+        arrays["ur_lens"] = np.asarray([len(r) for r in flat_revs], np.int64)
+        arrays["ur_counts"] = np.asarray(
+            [len(revs) for revs in self.user_reviews], np.int64)
+        arrays["u_to_i"] = np.asarray(
+            [i for lst in self.u_to_i for i in lst], np.int32)
+        arrays["i_to_u"] = np.asarray(
+            [u for lst in self.i_to_u for u in lst], np.int32)
+        arrays["i_counts"] = np.asarray(
+            [len(lst) for lst in self.i_to_u], np.int64)
+
+        ti = sorted(self.this_index.items())
+        arrays["ti"] = np.asarray(
+            [[u, i, a, b] for (u, i), (a, b) in ti], np.int64).reshape(-1, 4)
+
+        tv = sorted(self.test_reviews.items())
+        arrays["tv_keys"] = np.asarray([[u, i] for (u, i), _ in tv],
+                                       np.int64).reshape(-1, 2)
+        tv_toks = [t for _, t in tv]
+        arrays["tv_tokens"] = (np.concatenate(tv_toks)
+                               if tv_toks else np.zeros(0, np.int32))
+        arrays["tv_lens"] = np.asarray([len(t) for t in tv_toks], np.int64)
+
+        save_npz(os.path.join(path, "corpus.npz"), **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "ReviewDataset":
+        a = load_npz(os.path.join(path, "corpus.npz"))
+        num_users, num_items, num_words = (int(x) for x in a["meta"])
+        splits = {
+            s: Split(a[f"{s}_user"].astype(np.int32),
+                     a[f"{s}_item"].astype(np.int32),
+                     a[f"{s}_rating"].astype(np.float32))
+            for s in ("train", "test", "val")}
+
+        offs = np.zeros(len(a["ur_lens"]) + 1, np.int64)
+        np.cumsum(a["ur_lens"], out=offs[1:])
+        flat_revs = [a["ur_tokens"][offs[j]:offs[j + 1]].astype(np.int32)
+                     for j in range(len(a["ur_lens"]))]
+        user_reviews: List[List[np.ndarray]] = []
+        u_to_i: List[List[int]] = []
+        at = 0
+        flat_u2i = a["u_to_i"]
+        for u in range(num_users):
+            cnt = int(a["ur_counts"][u])
+            user_reviews.append(flat_revs[at:at + cnt])
+            u_to_i.append(list(map(int, flat_u2i[at:at + cnt])))
+            at += cnt
+
+        i_to_u: List[List[int]] = []
+        at = 0
+        for i in range(num_items):
+            cnt = int(a["i_counts"][i])
+            i_to_u.append(list(map(int, a["i_to_u"][at:at + cnt])))
+            at += cnt
+
+        this_index = {(int(r[0]), int(r[1])): (int(r[2]), int(r[3]))
+                      for r in a["ti"]}
+        item_reviews: List[List[np.ndarray]] = [
+            [np.zeros(0, np.int32)] * len(i_to_u[i])
+            for i in range(num_items)]
+        for (u, i), (ui, iu) in this_index.items():
+            item_reviews[i][iu] = user_reviews[u][ui]
+
+        toffs = np.zeros(len(a["tv_lens"]) + 1, np.int64)
+        np.cumsum(a["tv_lens"], out=toffs[1:])
+        test_reviews = {
+            (int(k[0]), int(k[1])):
+                a["tv_tokens"][toffs[j]:toffs[j + 1]].astype(np.int32)
+            for j, k in enumerate(a["tv_keys"])}
+
+        return cls.build(
+            num_users=num_users, num_items=num_items, num_words=num_words,
+            splits=splits, user_reviews=user_reviews,
+            item_reviews=item_reviews, u_to_i=u_to_i, i_to_u=i_to_u,
+            this_index=this_index, test_reviews=test_reviews,
+            neg_users=a["neg_users"], neg_cands=a["neg_cands"],
+            word_vectors=a["word_vectors"])

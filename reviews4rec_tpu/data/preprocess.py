@@ -1,0 +1,286 @@
+"""Offline preprocessing: raw Amazon-style JSON -> ReviewDataset.
+
+Semantics mirror the reference pipeline
+(`data_scripts/preprocess_random_split.py` + `make_negative_sets.py` +
+`prep_all_data.sh`), re-architected as one pass emitting the array-
+record corpus instead of six scripts and a pickle zoo:
+
+- iterative k-core filtering to a fixpoint (reference `get_map`
+  recursion, preprocess_random_split.py:67-86);
+- tokenization + 50k-capped vocab with UNK=0 (`:30-48`, `:88-118`);
+- 80/10/10 shuffle split (`:174-175`, `:226-241`);
+- `percent_reviews_to_keep` review-text dropout on train only
+  (`:186-191`) — ratings untouched;
+- 64-d skip-gram word vectors trained on train reviews (the reference
+  uses gensim Word2Vec(size=64, sg=1, window=1), `:244-253`; here a
+  self-contained SGNS so the framework has zero extra deps);
+- per-user negative candidate sets from the test split
+  (`make_negative_sets.py:42-68`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .corpus import ReviewDataset, Split
+from .tokenizer import build_vocab, tokenize
+
+
+def load_amazon_json(path: str) -> List[Dict]:
+    """JSON-lines Amazon review dumps (optionally .gz): one object per
+    line with reviewerID/asin/overall/reviewText."""
+    opener = gzip.open if path.endswith(".gz") else open
+    recs = []
+    with opener(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            recs.append({
+                "reviewerID": r["reviewerID"],
+                "asin": r["asin"],
+                "overall": float(r["overall"]),
+                "reviewText": r.get("reviewText", "") or "",
+            })
+    return recs
+
+
+def k_core_filter(recs: Sequence[Dict], k_core: int
+                  ) -> Tuple[List[Dict], Dict[str, int], Dict[str, int]]:
+    """Drop users/items with < k interactions until a fixpoint, then
+    densify ids in first-appearance order (reference
+    preprocess_random_split.py:67-86)."""
+    kept = list(recs)
+    while True:
+        ucnt: Dict[str, int] = {}
+        icnt: Dict[str, int] = {}
+        for r in kept:
+            ucnt[r["reviewerID"]] = ucnt.get(r["reviewerID"], 0) + 1
+            icnt[r["asin"]] = icnt.get(r["asin"], 0) + 1
+        nxt = [r for r in kept
+               if ucnt[r["reviewerID"]] >= k_core
+               and icnt[r["asin"]] >= k_core]
+        if len(nxt) == len(kept):
+            break
+        kept = nxt
+
+    umap: Dict[str, int] = {}
+    imap: Dict[str, int] = {}
+    for r in kept:
+        if r["reviewerID"] not in umap:
+            umap[r["reviewerID"]] = len(umap)
+        if r["asin"] not in imap:
+            imap[r["asin"]] = len(imap)
+    return kept, umap, imap
+
+
+# ----------------------------------------------------------------------
+# Self-contained skip-gram-with-negative-sampling word vectors.
+# ----------------------------------------------------------------------
+
+def train_word2vec(token_lists: Sequence[np.ndarray], num_words: int,
+                   dim: int = 64, epochs: int = 5, window: int = 1,
+                   negatives: int = 5, lr: float = 0.05,
+                   seed: int = 0) -> np.ndarray:
+    """SGNS over word-id sequences; returns [num_words + 1, dim] with
+    row 0 (UNK/pad) zeroed. Mini-batched numpy (the corpus scale of this
+    task is host-side tiny; on-device embedding training is the models'
+    job, not the preprocessor's)."""
+    rng = np.random.default_rng(seed)
+    V = num_words + 1
+    vec_in = (rng.random((V, dim), np.float32) - 0.5) / dim
+    vec_out = np.zeros((V, dim), np.float32)
+
+    centers: List[np.ndarray] = []
+    contexts: List[np.ndarray] = []
+    for toks in token_lists:
+        t = np.asarray(toks, np.int64)
+        t = t[t > 0]
+        for off in range(1, window + 1):
+            if len(t) > off:
+                centers.append(t[:-off])
+                contexts.append(t[off:])
+                centers.append(t[off:])
+                contexts.append(t[:-off])
+    if not centers:
+        vecs = vec_in
+        vecs[0] = 0.0
+        return vecs
+    centers_a = np.concatenate(centers)
+    contexts_a = np.concatenate(contexts)
+
+    # unigram^(3/4) negative-sampling table
+    freq = np.bincount(contexts_a, minlength=V).astype(np.float64)
+    probs = freq ** 0.75
+    probs[0] = 0.0
+    probs /= probs.sum()
+
+    n = len(centers_a)
+    bs = 4096
+    for _ in range(max(epochs, 1)):
+        order = rng.permutation(n)
+        for s in range(0, n, bs):
+            sel = order[s:s + bs]
+            c = centers_a[sel]
+            pos = contexts_a[sel]
+            neg = rng.choice(V, size=(len(sel), negatives), p=probs)
+            vi = vec_in[c]                                   # [b, d]
+            targets = np.concatenate([pos[:, None], neg], 1)  # [b, 1+k]
+            vo = vec_out[targets]                            # [b, 1+k, d]
+            score = np.einsum("bd,bkd->bk", vi, vo)
+            label = np.zeros_like(score)
+            label[:, 0] = 1.0
+            g = (1.0 / (1.0 + np.exp(-score)) - label) * lr  # [b, 1+k]
+            gi = np.einsum("bk,bkd->bd", g, vo)
+            go = g[..., None] * vi[:, None, :]
+            np.add.at(vec_in, c, -gi)
+            np.add.at(vec_out, targets.reshape(-1),
+                      -go.reshape(-1, dim))
+    vecs = vec_in.astype(np.float32)
+    vecs[0] = 0.0
+    return vecs
+
+
+# ----------------------------------------------------------------------
+
+def build_negatives(test: Split, num_negs: int = 5, seed: int = 0
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-user candidate rows from the TEST split: column 0 = one
+    positive (rating >= 4.9), columns 1..num_negs = distinct sampled
+    items the user rated < 4.9; users lacking either are skipped
+    (reference make_negative_sets.py:42-68)."""
+    rng = np.random.default_rng(seed)
+    by_user: Dict[int, List[Tuple[int, float]]] = {}
+    for u, i, r in zip(test.user, test.item, test.rating):
+        by_user.setdefault(int(u), []).append((int(i), float(r)))
+
+    users: List[int] = []
+    cands: List[List[int]] = []
+    for u in sorted(by_user):
+        pos = [i for i, r in by_user[u] if r >= 4.9]
+        neg = [i for i, r in by_user[u] if r < 4.9]
+        if not pos or len(neg) < num_negs:
+            continue
+        p = int(rng.choice(pos))
+        ns = rng.choice(len(neg), size=num_negs, replace=False)
+        users.append(u)
+        cands.append([p] + [neg[j] for j in ns])
+    if not users:
+        return np.zeros(0, np.int32), np.zeros((0, 1 + num_negs), np.int32)
+    return (np.asarray(users, np.int32),
+            np.asarray(cands, np.int32))
+
+
+def preprocess(recs: Sequence[Dict], k_core: int = 5,
+               percent_reviews_to_keep: int = 100,
+               vocab_cap: int = 50000, w2v_epochs: int = 20,
+               seed: int = 0, verbose=print) -> ReviewDataset:
+    """Full offline pipeline; see module docstring."""
+    rng = np.random.default_rng(seed)
+    kept, umap, imap = k_core_filter(recs, k_core)
+    verbose(f"k-core({k_core}): {len(kept)}/{len(recs)} interactions, "
+            f"{len(umap)} users, {len(imap)} items")
+
+    # dedup (u, i) keeping the first occurrence
+    seen = set()
+    uniq = []
+    for r in kept:
+        key = (umap[r["reviewerID"]], imap[r["asin"]])
+        if key in seen:
+            continue
+        seen.add(key)
+        uniq.append((key[0], key[1], float(r["overall"]),
+                     tokenize(r["reviewText"])))
+
+    word_map, num_words = build_vocab([t for *_, t in uniq], cap=vocab_cap)
+    verbose(f"vocab: {num_words} words")
+    token_ids = [np.asarray([word_map[w] for w in toks], np.int32)
+                 for *_, toks in uniq]
+
+    n = len(uniq)
+    order = rng.permutation(n)
+    n_train = int(0.8 * n)
+    n_test = (n - n_train + 1) // 2
+    idx = {"train": order[:n_train],
+           "test": order[n_train:n_train + n_test],
+           "val": order[n_train + n_test:]}
+    splits = {
+        s: Split(np.asarray([uniq[j][0] for j in ix], np.int32),
+                 np.asarray([uniq[j][1] for j in ix], np.int32),
+                 np.asarray([uniq[j][2] for j in ix], np.float32))
+        for s, ix in idx.items()}
+
+    num_users, num_items = len(umap), len(imap)
+    user_reviews: List[List[np.ndarray]] = [[] for _ in range(num_users)]
+    item_reviews: List[List[np.ndarray]] = [[] for _ in range(num_items)]
+    u_to_i: List[List[int]] = [[] for _ in range(num_users)]
+    i_to_u: List[List[int]] = [[] for _ in range(num_items)]
+    this_index: Dict[Tuple[int, int], Tuple[int, int]] = {}
+    train_texts: List[np.ndarray] = []
+    for j in idx["train"]:
+        u, i, _, _ = uniq[j]
+        toks = token_ids[j]
+        # review-text dropout, train only (ratings untouched;
+        # preprocess_random_split.py:186-191)
+        if percent_reviews_to_keep < 100 and \
+                rng.random() * 100 >= percent_reviews_to_keep:
+            toks = np.zeros(0, np.int32)
+        this_index[(u, i)] = (len(user_reviews[u]), len(item_reviews[i]))
+        user_reviews[u].append(toks)
+        item_reviews[i].append(toks)
+        u_to_i[u].append(i)
+        i_to_u[i].append(u)
+        train_texts.append(toks)
+
+    test_reviews = {(uniq[j][0], uniq[j][1]): token_ids[j]
+                    for s in ("test", "val") for j in idx[s]}
+
+    word_vectors = train_word2vec(train_texts, num_words,
+                                  epochs=w2v_epochs, seed=seed)
+    neg_users, neg_cands = build_negatives(splits["test"], seed=seed)
+    verbose(f"split sizes train/test/val = {len(splits['train'])}/"
+            f"{len(splits['test'])}/{len(splits['val'])}; "
+            f"{len(neg_users)} users with negative sets")
+
+    return ReviewDataset.build(
+        num_users=num_users, num_items=num_items, num_words=num_words,
+        splits=splits, user_reviews=user_reviews,
+        item_reviews=item_reviews, u_to_i=u_to_i, i_to_u=i_to_u,
+        this_index=this_index, test_reviews=test_reviews,
+        neg_users=neg_users, neg_cands=neg_cands,
+        word_vectors=word_vectors)
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    """CLI equivalent of `./prep_all_data.sh <name> <file.json>`
+    (reference prep_all_data.sh:4-5)."""
+    p = argparse.ArgumentParser(description="preprocess a raw review dump")
+    p.add_argument("name", help="dataset name")
+    p.add_argument("raw", help="path to JSON-lines review dump (.json/.gz)")
+    p.add_argument("--k-core", type=int, default=5)
+    p.add_argument("--percent", type=int, default=100,
+                   help="percent of train review text to keep")
+    p.add_argument("--out", default="data", help="output data root")
+    p.add_argument("--w2v-epochs", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    ds = preprocess(load_amazon_json(args.raw), k_core=args.k_core,
+                    percent_reviews_to_keep=args.percent,
+                    w2v_epochs=args.w2v_epochs, seed=args.seed)
+    out = os.path.join(args.out, args.name, f"{args.k_core}_core")
+    if args.percent != 100:
+        out = os.path.join(out, f"{args.percent}_percent")
+    ds.save(out)
+    print(f"saved {out}/corpus.npz")
+
+
+if __name__ == "__main__":
+    main()
