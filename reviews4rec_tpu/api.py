@@ -48,6 +48,9 @@ def run(hp: HyperParams, dataset: Optional[ReviewDataset] = None,
     if dataset is None:
         dataset = ReviewDataset.load(hp.data_dir())
     hp = dataset.apply_to(hp)
+    if hp.dataset == "ratebeer" and hp.rating_max == 5.0:
+        # RateBeer overall ratings are N/20 (reference data.py:101-102).
+        hp = hp.replace(rating_max=20.0)
     start = time.time()
 
     if hp.family == "neighbor":

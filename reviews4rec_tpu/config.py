@@ -67,6 +67,12 @@ class HyperParams:
     mpcn_lr: float = 1e-3
     mpcn_clip_norm: float = 1.0
     mpcn_dropout_keep: float = 0.8
+    # variant space of the reference MPCN stack (runner defaults first;
+    # MPCN/parser.py:122, tf_models/model.py:170-406)
+    mpcn_affinity: str = "SOFT"   # SOFT | BILINEAR | TENSOR | MLP | MD
+    mpcn_encoder: str = "NBOW"    # NBOW | CNN
+    mpcn_head: str = "FM"         # FM | DOT | MLP | MF
+    mpcn_joint: str = "MPCN"      # MPCN | D_ATT
 
     # ---- neighbor/surprise-equivalents (surprise library defaults) ----
     surprise_epochs: int = 20

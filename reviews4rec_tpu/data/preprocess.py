@@ -52,6 +52,43 @@ def load_amazon_json(path: str) -> List[Dict]:
     return recs
 
 
+def load_ratebeer(path: str) -> List[Dict]:
+    """RateBeer multi-line records (reference `load_beer`,
+    preprocess_random_split.py:119-140): latin-1 text, one `key: value`
+    field per line, blank line terminates a record. Ratings are
+    "overall: N/20" — the numerator is kept, so the scale is 1..20
+    (pass dataset name 'ratebeer' so the runtime picks rating_max=20,
+    reference data.py:101-102)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    recs: List[Dict] = []
+    cur: Dict = {}
+    with opener(path, "rb") as f:
+        for raw in f:
+            line = raw.strip().decode("latin-1")
+            if not line:
+                if cur:
+                    recs.append(cur)
+                cur = {}
+                continue
+            if line.startswith("beer/beerId"):
+                cur["asin"] = line.split(":")[-1].strip()
+            elif line.startswith("review/profileName"):
+                cur["reviewerID"] = line.split(":")[-1].strip()
+            elif line.startswith("review/overall"):
+                cur["overall"] = float(line.split(":")[-1].split("/")[0])
+            elif line.startswith("review/text"):
+                cur["reviewText"] = line.split(":", 1)[-1].strip()
+    if cur:
+        recs.append(cur)
+    out = []
+    for r in recs:
+        if not {"asin", "reviewerID", "overall"} <= r.keys():
+            continue
+        r.setdefault("reviewText", "")
+        out.append(r)
+    return out
+
+
 def k_core_filter(recs: Sequence[Dict], k_core: int
                   ) -> Tuple[List[Dict], Dict[str, int], Dict[str, int]]:
     """Drop users/items with < k interactions until a fixpoint, then
@@ -265,6 +302,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("name", help="dataset name")
     p.add_argument("raw", help="path to JSON-lines review dump (.json/.gz)")
     p.add_argument("--k-core", type=int, default=5)
+    p.add_argument("--format", choices=("amazon", "ratebeer"), default=None,
+                   help="raw format; default: ratebeer iff name is "
+                        "'ratebeer' (reference preprocess_random_split.py"
+                        ":148-150)")
     p.add_argument("--percent", type=int, default=100,
                    help="percent of train review text to keep")
     p.add_argument("--out", default="data", help="output data root")
@@ -272,7 +313,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    ds = preprocess(load_amazon_json(args.raw), k_core=args.k_core,
+    fmt = args.format or ("ratebeer" if args.name == "ratebeer" else "amazon")
+    loader = load_ratebeer if fmt == "ratebeer" else load_amazon_json
+    ds = preprocess(loader(args.raw), k_core=args.k_core,
                     percent_reviews_to_keep=args.percent,
                     w2v_epochs=args.w2v_epochs, seed=args.seed)
     out = os.path.join(args.out, args.name, f"{args.k_core}_core")

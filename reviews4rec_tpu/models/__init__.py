@@ -51,7 +51,10 @@ def build_model(hp: HyperParams, word_vectors=None):
         return MPCN(hidden=hp.latent_size, dropout_keep=hp.mpcn_dropout_keep,
                     word_vectors=wv, num_heads=hp.mpcn_heads,
                     temperature=hp.mpcn_temperature,
-                    factors=hp.mpcn_factor, **common)
+                    factors=hp.mpcn_factor,
+                    rating_min=hp.rating_min, rating_max=hp.rating_max,
+                    affinity=hp.mpcn_affinity, encoder=hp.mpcn_encoder,
+                    head=hp.mpcn_head, joint=hp.mpcn_joint, **common)
     raise ValueError(
         f"{mt!r} is not an SGD model; use hft.HFTTrainer or "
         f"neighbors.fit_predict for it")

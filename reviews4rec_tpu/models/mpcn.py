@@ -6,16 +6,27 @@ configuration 'RAW_MSE_MPCN_FN_FM' as driven by reviews4rec's runner
 Pipeline per the reference defaults (MPCN/parser.py): reviews encoded as
 sums of word embeddings (NBOW, model.py:344-347), a shared relu
 projection (translate_proj, model.py:671-695), then per head:
- 1. review-level co-attention: SOFT (dot-product) affinity over
-    projected review reps, MAX-pooled per side, **hard Gumbel pointer**
-    selecting one review each side (att_op.py:311-390, mpcn.py:71-81);
+ 1. review-level co-attention: affinity over projected review reps,
+    MAX-pooled per side, **hard Gumbel pointer** selecting one review
+    each side (att_op.py:311-390, mpcn.py:71-81);
  2. the selected review's word embeddings recovered by the pointer-
     weighted sum over the review axis (mpcn.py:92-109);
- 3. word-level co-attention: SOFT affinity, MEAN-pooled, soft softmax
+ 3. word-level co-attention: same affinity, MEAN-pooled, soft softmax
     weights, summed over words (mpcn.py:128-137).
 Head outputs plus the summed review reps are merged by a shared FFN
-('FN', mpcn.py:149-160) and scored by an FM head on [u; i]
-(model.py:361-406 'FM' branch).
+('FN', mpcn.py:149-160) and scored by a rec head (model.py:361-406).
+
+Beyond the runner-fixed configuration this module exposes the
+reference's full variant space as static construction options:
+- `affinity`: SOFT (default, parser.py:122) / BILINEAR / TENSOR /
+  MLP / MD (att_op.py:247-297) for both co-attention stages;
+- `encoder`: 'NBOW' (default) or 'CNN' review encoding
+  (learn_single_repr, model.py:338-359);
+- `head`: 'FM' (default) / 'DOT' / 'MLP' / 'MF' final scorer
+  (_rec_output, model.py:361-406);
+- `joint`: 'MPCN' (default) or 'D_ATT' — the dual-attention joint
+  representation (model.py:170-336 dispatch; dual_attention
+  att_op.py:392-441) over the flattened review document.
 
 Deviation from the reference: TF samples Gumbel noise at eval time too
 (the graph is shared); here eval uses the deterministic temperature->0
@@ -29,24 +40,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .att import (CoAttention, DualAttention, gumbel_softmax,  # noqa: F401
+                  hard_argmax)
 from .layers import xavier_uniform
 
-
-def gumbel_softmax(logits, rng, temperature: float, hard: bool = True):
-    """Straight-through Gumbel softmax (att_op.py:379-390)."""
-    u = jax.random.uniform(rng, logits.shape, minval=1e-20, maxval=1.0)
-    g = -jnp.log(-jnp.log(u))
-    y = jax.nn.softmax((logits + g) / temperature, axis=-1)
-    if hard:
-        y_hard = (y == jnp.max(y, axis=-1, keepdims=True)).astype(y.dtype)
-        y = jax.lax.stop_gradient(y_hard - y) + y
-    return y
-
-
-def hard_argmax(logits):
-    """Deterministic pointer for eval: one-hot of the max logit."""
-    return (logits == jnp.max(logits, axis=-1, keepdims=True)) \
-        .astype(logits.dtype)
+HEADS = ("FM", "DOT", "MLP", "MF")
+ENCODERS = ("NBOW", "CNN")
+JOINTS = ("MPCN", "D_ATT")
 
 
 class MPCN(nn.Module):
@@ -58,9 +58,21 @@ class MPCN(nn.Module):
     temperature: float = 0.5
     factors: int = 10                 # FM factors (parser.py factor=10)
     dropout_keep: float = 0.8         # TF keep-prob (parser.py dropout=0.8)
+    rating_min: float = 1.0           # predict_op clip (model.py:831-833)
+    rating_max: float = 5.0
+    affinity: str = "SOFT"
+    encoder: str = "NBOW"
+    head: str = "FM"
+    joint: str = "MPCN"
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
+        if self.head not in HEADS:
+            raise ValueError(f"head {self.head!r} not in {HEADS}")
+        if self.encoder not in ENCODERS:
+            raise ValueError(f"encoder {self.encoder!r} not in {ENCODERS}")
+        if self.joint not in JOINTS:
+            raise ValueError(f"joint {self.joint!r} not in {JOINTS}")
         lead = batch["user"].shape
         dmax, smax = batch["user_doc"].shape[-2:]
         udoc = batch["user_doc"].reshape(-1, dmax, smax)
@@ -78,58 +90,65 @@ class MPCN(nn.Module):
         table = self.param("word_embedding", xavier_uniform(),
                            (vocab, emb_size))
 
-        def nbow(doc):
+        if self.joint == "D_ATT":
+            # dual local+global attention over the flat review document
+            datt = DualAttention(self.hidden, dropout_rate=rate,
+                                 name="dual_att")
+            eu = jnp.take(table, udoc.reshape(b, dmax * smax), axis=0)
+            ei = jnp.take(table, idoc.reshape(b, dmax * smax), axis=0)
+            u, i = datt(eu, train=train), datt(ei, train=train)
+            out = self._rec_output(u, i, drop)
+            if not train:
+                out = jnp.clip(out, self.rating_min, self.rating_max)
+            return out.reshape(lead)
+
+        if self.encoder == "CNN":
+            # shared conv params: embed_reviews runs on both sides
+            kern = self.param("cnn_kernel", xavier_uniform(),
+                              (3 * emb_size, self.hidden))
+            cbias = self.param("cnn_bias", nn.initializers.constant(0.1),
+                               (self.hidden,))
+
+        def embed_reviews(doc):
             e = jnp.take(table, doc.reshape(b * dmax, smax), axis=0)
-            reps = jnp.sum(e, axis=1).reshape(b, dmax, emb_size)
-            return reps, e.reshape(b, dmax, smax * emb_size)
+            if self.encoder == "CNN":
+                # conv window 3, relu, max-over-time per review
+                # (learn_single_repr CNN branch, model.py:349-356)
+                ep = jnp.pad(e, ((0, 0), (1, 1), (0, 0)))
+                idx = jnp.arange(smax)[:, None] + jnp.arange(3)[None, :]
+                win = ep[:, idx, :].reshape(b * dmax, smax, 3 * emb_size)
+                reps = jnp.max(jax.nn.relu(win @ kern + cbias), axis=1)
+            else:
+                reps = jnp.sum(e, axis=1)          # NBOW (model.py:344-347)
+            return (reps.reshape(b, dmax, -1),
+                    e.reshape(b, dmax, smax * emb_size))
 
-        q1, o1 = nbow(udoc)   # [B, dmax, E], [B, dmax, smax*E]
-        q2, o2 = nbow(idoc)
+        q1, o1 = embed_reviews(udoc)   # [B, dmax, H|E], [B, dmax, smax*E]
+        q2, o2 = embed_reviews(idoc)
 
-        # translate_proj: shared relu FC E -> hidden (model.py:671-695)
+        # translate_proj: shared relu FC -> hidden (model.py:671-695)
         proj = nn.Dense(self.hidden, kernel_init=xavier_uniform(),
                         name="trans_proj")
         q1 = jax.nn.relu(proj(q1))
         q2 = jax.nn.relu(proj(q2))
 
-        def co_attention(a, bb, name, pooling, pointer=False):
-            """SOFT-affinity co-attention (att_op.py:139-373): a shared
-            relu projection, dot-product affinity, row/col pooling."""
-            tp = nn.Dense(a.shape[-1], kernel_init=xavier_uniform(),
-                          name=f"{name}_proj")
-            pa, pb = jax.nn.relu(tp(a)), jax.nn.relu(tp(bb))
-            y = pa @ jnp.swapaxes(pb, -1, -2)     # [B, la, lb]
-            if pooling == "MAX":
-                att_row = jnp.max(y, axis=1)      # over a -> weights for b
-                att_col = jnp.max(y, axis=2)      # over b -> weights for a
-            else:  # MEAN
-                att_row = jnp.mean(y, axis=1)
-                att_col = jnp.mean(y, axis=2)
-            if pointer:                           # gumbel hard pointer
-                if train:
-                    r1, r2 = jax.random.split(self.make_rng("gumbel"))
-                    w_a = gumbel_softmax(att_col, r1, self.temperature)
-                    w_b = gumbel_softmax(att_row, r2, self.temperature)
-                else:
-                    w_a, w_b = hard_argmax(att_col), hard_argmax(att_row)
-            else:
-                w_a = jax.nn.softmax(att_col, axis=-1)
-                w_b = jax.nn.softmax(att_row, axis=-1)
-            fa = drop(w_a[..., None] * pa)
-            fb = drop(w_b[..., None] * pb)
-            return fa, fb, w_a, w_b
-
         f1 = []
         f2 = []
         for h in range(self.num_heads):
-            _, _, a1, a2 = co_attention(q1, q2, f"mpcn_{h}", "MAX",
-                                        pointer=True)
+            # review-level pointer co-attention (mpcn.py:71-81)
+            _, _, a1, a2, _ = CoAttention(
+                att_type=self.affinity, pooling="MAX", gumbel=True,
+                temperature=self.temperature, dropout_rate=rate,
+                name=f"mpcn_{h}")(q1, q2, train=train)
             # pointer-select one review's words per side (mpcn.py:92-109)
             sel1 = jnp.sum(o1 * a1[..., None], axis=1) \
                 .reshape(b, smax, emb_size)
             sel2 = jnp.sum(o2 * a2[..., None], axis=1) \
                 .reshape(b, smax, emb_size)
-            z1, z2, _, _ = co_attention(sel1, sel2, f"inner_{h}", "MEAN")
+            # word-level co-attention (mpcn.py:128-137)
+            z1, z2, _, _, _ = CoAttention(
+                att_type=self.affinity, pooling="MEAN", dropout_rate=rate,
+                name=f"inner_{h}")(sel1, sel2, train=train)
             f1.append(jnp.sum(z1, axis=1))
             f2.append(jnp.sum(z2, axis=1))
 
@@ -143,6 +162,27 @@ class MPCN(nn.Module):
         i = jax.nn.relu(ffn(jnp.concatenate(f2, axis=-1)))
         u, i = drop(u), drop(i)
 
+        out = self._rec_output(u, i, drop)
+        if not train:
+            # predict_op clips to the rating scale (model.py:831-833)
+            out = jnp.clip(out, self.rating_min, self.rating_max)
+        return out.reshape(lead)
+
+    def _rec_output(self, u, i, drop):
+        """Final rec scorer (_rec_output, model.py:361-406)."""
+        if self.head == "DOT":
+            return jnp.sum(u * i, axis=-1)
+        if self.head == "MF":
+            h = self.param("mf_hidden", xavier_uniform(), (u.shape[-1], 1))
+            return ((u * i) @ h)[..., 0]
+        if self.head == "MLP":
+            x = jnp.concatenate([u, i, u * i], axis=-1)
+            for layer in range(2):
+                x = jax.nn.relu(nn.Dense(self.hidden,
+                                         kernel_init=xavier_uniform(),
+                                         name=f"mlp{layer}")(drop(x)))
+            return nn.Dense(1, kernel_init=xavier_uniform(),
+                            name="mlp_out")(x)[..., 0]
         # FM head on [u; i] (model.py:393-403)
         x = drop(jnp.concatenate([u, i], axis=-1))
         n = x.shape[-1]
@@ -152,8 +192,4 @@ class MPCN(nn.Module):
         inter = 0.5 * jnp.sum(xv * xv - x2v2, axis=-1)
         lin = nn.Dense(1, kernel_init=xavier_uniform(),
                        name="fm_lin")(x)[..., 0]
-        out = inter + lin
-        if not train:
-            # predict_op clips to the rating scale (model.py:831-833)
-            out = jnp.clip(out, 1.0, 5.0)
-        return out.reshape(lead)
+        return inter + lin

@@ -122,3 +122,47 @@ def test_cli(tmp_path):
     assert (out / "mini" / "3_core" / "corpus.npz").exists()
     ds = ReviewDataset.load(str(out / "mini" / "3_core"))
     assert ds.num_users > 0
+
+
+def test_load_ratebeer_format(tmp_path):
+    """RateBeer multi-line records (preprocess_random_split.py:119-140):
+    blank-line separated key:value fields, rating N/20 keeps the
+    numerator, latin-1 text."""
+    from reviews4rec_tpu.data.preprocess import load_ratebeer
+    raw = (
+        "beer/name: Test Ale\n"
+        "beer/beerId: 101\n"
+        "review/profileName: alice\n"
+        "review/overall: 13/20\n"
+        "review/text: pours a hazy caf\xe9 amber\n"
+        "\n"
+        "beer/beerId: 102\n"
+        "review/profileName: bob\n"
+        "review/overall: 20/20\n"
+        "review/text: perfect\n"
+        "\n"
+        "beer/beerId: 103\n"
+        "review/profileName: carol\n"
+        "review/overall: 7/20\n"
+    )
+    p = tmp_path / "beer.txt"
+    p.write_bytes(raw.encode("latin-1"))
+    recs = load_ratebeer(str(p))
+    assert len(recs) == 3
+    assert recs[0] == {"asin": "101", "reviewerID": "alice",
+                       "overall": 13.0,
+                       "reviewText": "pours a hazy caf\xe9 amber"}
+    assert recs[1]["overall"] == 20.0
+    assert recs[2]["reviewText"] == ""   # missing text tolerated
+
+
+def test_ratebeer_rating_scale_flows_to_runtime():
+    """api.run widens the clip range to 1..20 for ratebeer
+    (reference data.py:101-102)."""
+    from reviews4rec_tpu.api import run
+    from reviews4rec_tpu.config import HyperParams
+    from reviews4rec_tpu.data.synthetic import make_synthetic
+    ds = make_synthetic(num_users=25, num_items=20, vocab=80, seed=5)
+    m, _, _ = run(HyperParams(model_type="bias_only", epochs=1,
+                              dataset="ratebeer"), ds)
+    assert "MSE" in m
