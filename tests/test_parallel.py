@@ -89,3 +89,49 @@ def test_sharded_step_matches_single_device(dataset, hp_base, mt):
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)  # must not raise
+
+
+@pytest.mark.parametrize("window", [1, 3, 5])
+def test_seq_sharded_textcnn_matches_single_device(window):
+    """Halo-exchange sequence parallelism (SURVEY.md §2.8): the
+    time-sharded fused conv+relu+maxpool must reproduce the
+    single-device TextCNN pre-FC pooled output."""
+    from reviews4rec_tpu.parallel.sequence import textcnn_pool_seq
+
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(0)
+    b, t, e, f = 4, 64, 8, 12
+    x = jnp.asarray(rng.normal(size=(b, t, e)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(window * e, f)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+
+    # single-device reference: torch-style both-ends padding
+    xp = jnp.pad(x, ((0, 0), (window - 1, window - 1), (0, 0)))
+    idx = jnp.arange(t + window - 1)[:, None] + jnp.arange(window)[None, :]
+    win = xp[:, idx, :].reshape(b, t + window - 1, window * e)
+    expect = jnp.max(jax.nn.relu(win @ kernel + bias), axis=1)
+
+    got = textcnn_pool_seq(x, kernel, bias, window, mesh, axis="model")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_seq_sharded_textcnn_under_jit_and_grad():
+    """The halo kernel must compose with jit and autodiff (training
+    path)."""
+    from reviews4rec_tpu.parallel.sequence import textcnn_pool_seq
+
+    mesh = make_mesh((1, 8))
+    rng = np.random.default_rng(1)
+    b, t, e, f, w = 2, 40, 4, 6, 3
+    x = jnp.asarray(rng.normal(size=(b, t, e)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(w * e, f)), jnp.float32)
+    bias = jnp.zeros((f,), jnp.float32)
+
+    def loss(kern):
+        return jnp.sum(textcnn_pool_seq(x, kern, bias, w, mesh) ** 2)
+
+    g = jax.jit(jax.grad(loss))(kernel)
+    assert g.shape == kernel.shape
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
