@@ -22,6 +22,7 @@ model family, replacing the reference's per-family loops
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -78,7 +79,14 @@ def _batch_loss(preds, batch, model_type: str):
 
 def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
                     model_type: str):
-    @jax.jit
+    # donate_argnums=0: the previous TrainState's buffers are dead after
+    # the update, so XLA reuses them in place — halves HBM traffic for
+    # params/opt state. Snapshots of params that must outlive a step are
+    # copied first (see train_complete). CPU has no donation support, so
+    # skip it there to avoid per-compile warnings in tests.
+    donate = (0,) if jax.default_backend() != "cpu" else ()
+
+    @partial(jax.jit, donate_argnums=donate)
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             preds = apply_fn(params, batch, True, rng)
@@ -95,19 +103,44 @@ def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
     return train_step
 
 
+def _prefetch(batcher, depth: int = 2):
+    """Move batches to device `depth` steps ahead of consumption so the
+    host->device copy overlaps the previous step's compute (the tunneled
+    TPU makes transfer latency visible)."""
+    import collections
+
+    buf = collections.deque()
+    it = iter(batcher)
+    for batch in it:
+        buf.append(jax.tree_util.tree_map(jnp.asarray, batch))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def train_epoch(train_step, state: TrainState, batcher: Batcher,
                 rng) -> Tuple[TrainState, Dict]:
     from .profiler import Throughput, annotate
 
     tp = Throughput()
-    sq_sum, n = 0.0, 0.0
-    for batch in batcher:
+    # Accumulate metrics as device scalars: a float() per step would
+    # block on the device and serialize dispatch; one sync per epoch
+    # keeps the step pipeline full.
+    sq_sum = jnp.zeros(())
+    n = jnp.zeros(())
+    bs = batcher.batch_size
+    remaining = batcher.n
+    for batch in _prefetch(batcher):
         rng, step_rng = jax.random.split(rng)
         with annotate("train_step"):
             state, m = train_step(state, batch, step_rng)
-        sq_sum += float(m["sq_sum"])
-        n += float(m["n"])
-        tp.add(float(m["n"]))
+        sq_sum = sq_sum + m["sq_sum"]
+        n = n + m["n"]
+        tp.add(min(bs, remaining))   # host-side count, no device sync
+        remaining -= bs
+    sq_sum = float(sq_sum)
+    n = float(n)
     return state, {"MSE": round(sq_sum / max(n, 1.0), 4), **tp.metrics()}
 
 
@@ -155,7 +188,9 @@ def train_complete(hp: HyperParams, model, dataset, *,
         log_end_epoch(log, metrics, epoch, time.time() - t0, quiet=quiet)
         if metrics["MSE"] < best_mse:
             best_mse = metrics["MSE"]
-            best_params = state.params
+            # deep copy: the live params' buffers get donated to the
+            # next epoch's first train_step
+            best_params = jax.tree_util.tree_map(jnp.copy, state.params)
             if checkpoint_path:
                 save_checkpoint(checkpoint_path, best_params,
                                 opt_state=state.opt_state,
