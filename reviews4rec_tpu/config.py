@@ -85,7 +85,11 @@ class HyperParams:
 
     # ---- eval ----
     num_negs: int = 5           # candidates = 1 pos + num_negs
-    eval_ks: Tuple[int, ...] = (1,)  # HR@k / NDCG@k cutoffs
+    # HR@k / NDCG@k cutoffs (reference protocol is k=1 over 6
+    # candidates, eval.py:64-91; k=10 is the BASELINE.md target and is
+    # meaningful once num_negs >= 10 — with the default 5 negatives it
+    # saturates at 100).
+    eval_ks: Tuple[int, ...] = (1, 10)
 
     # ---- populated by data loading (reference data.py:468-470) ----
     total_users: int = 0

@@ -141,8 +141,12 @@ class ReviewDataset:
         u_revs = np.arange(n_train_revs, dtype=np.int32)
         u_other = np.asarray(
             [i for lst in self.u_to_i for i in lst], np.int32)
-        if u_other.shape[0] != n_train_revs:  # tolerate partial maps
-            u_other = np.zeros(n_train_revs, np.int32)
+        if u_other.shape[0] != n_train_revs:
+            # A silent zero-fill would corrupt NARRE's neighbor-id
+            # features (item id 0 is a real item) — fail loudly instead.
+            raise ValueError(
+                f"u_to_i maps {u_other.shape[0]} reviews but the review "
+                f"store holds {n_train_revs}; the corpus is inconsistent")
 
         i_off = np.zeros(self.num_items + 1, np.int64)
         i_revs_l: List[int] = []

@@ -122,14 +122,26 @@ def k_core_filter(recs: Sequence[Dict], k_core: int
 # Self-contained skip-gram-with-negative-sampling word vectors.
 # ----------------------------------------------------------------------
 
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    """Overflow-free logistic: exp() only ever sees non-positive args."""
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
+
+
 def train_word2vec(token_lists: Sequence[np.ndarray], num_words: int,
-                   dim: int = 64, epochs: int = 5, window: int = 1,
-                   negatives: int = 5, lr: float = 0.05,
+                   dim: int = 64, epochs: int = 20, window: int = 1,
+                   negatives: int = 64, lr: float = 0.05,
                    seed: int = 0) -> np.ndarray:
     """SGNS over word-id sequences; returns [num_words + 1, dim] with
-    row 0 (UNK/pad) zeroed. Mini-batched numpy (the corpus scale of this
-    task is host-side tiny; on-device embedding training is the models'
-    job, not the preprocessor's)."""
+    row 0 (UNK/pad) zeroed. Defaults match the reference's gensim call
+    Word2Vec(size=64, sg=1, window=1, negative=64, iter=20)
+    (preprocess_random_split.py:245). Mini-batched numpy (the corpus
+    scale of this task is host-side tiny; on-device embedding training
+    is the models' job, not the preprocessor's)."""
     rng = np.random.default_rng(seed)
     V = num_words + 1
     vec_in = (rng.random((V, dim), np.float32) - 0.5) / dim
@@ -174,7 +186,7 @@ def train_word2vec(token_lists: Sequence[np.ndarray], num_words: int,
             score = np.einsum("bd,bkd->bk", vi, vo)
             label = np.zeros_like(score)
             label[:, 0] = 1.0
-            g = (1.0 / (1.0 + np.exp(-score)) - label) * lr  # [b, 1+k]
+            g = (_sigmoid(score) - label) * lr               # [b, 1+k]
             gi = np.einsum("bk,bkd->bd", g, vo)
             go = g[..., None] * vi[:, None, :]
             np.add.at(vec_in, c, -gi)

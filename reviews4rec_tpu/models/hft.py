@@ -131,7 +131,8 @@ def build_hft_data(hp: HyperParams, dataset: ReviewDataset,
         tok_item=jnp.asarray(np.asarray(tok_item, np.int32)),
         item_words=jnp.asarray(item_words.astype(np.int32)),
         eval_sets=eval_sets,
-        neg_users=jnp.asarray(np.repeat(dataset.neg_users[:, None], 6,
+        neg_users=jnp.asarray(np.repeat(dataset.neg_users[:, None],
+                                        dataset.neg_cands.shape[1],
                                         axis=1)),
         neg_items=jnp.asarray(dataset.neg_cands),
         num_users=dataset.num_users, num_items=dataset.num_items,

@@ -41,6 +41,12 @@ def textcnn_pool_seq(x: jnp.ndarray, kernel: jnp.ndarray,
     n = mesh.shape[axis]
     b, t, e = x.shape
     assert t % n == 0, (t, n)
+    # The halo pulls from ONE neighbor only; a shard chunk shorter than
+    # the halo would make `xs[:, c-(w-1):, :]` a clamped slice and the
+    # gather below would silently read garbage.
+    assert t // n >= w - 1, (
+        f"per-shard chunk {t // n} < window-1 ({w - 1}); shard the "
+        f"sequence over fewer devices or grow input_length")
 
     def local(xs, kern, bia):
         # xs: [B, C, E] — this shard's chunk of the time axis

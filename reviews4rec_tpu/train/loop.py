@@ -175,7 +175,10 @@ def train_complete(hp: HyperParams, model, dataset, *,
     eval_step = make_eval_step(apply_fn, hp.model_type)
 
     best_mse = float("inf")
-    best_params = state.params
+    # copy, not alias: state.params' buffers get donated to epoch 1's
+    # first train_step, and if validation never improves (NaN MSE) the
+    # aliased tree would be returned with deleted buffers
+    best_params = jax.tree_util.tree_map(jnp.copy, state.params)
     log = hp.log_file()
     for epoch in range(1, hp.epochs + 1):
         t0 = time.time()

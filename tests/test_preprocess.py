@@ -21,6 +21,38 @@ def test_tokenizer_golden():
     assert tokenize("") == []
 
 
+def test_tokenizer_matches_reference_semantics():
+    """Pins against the reference tokenize() on sample strings: its first
+    regex `[^A-Za-z] -> space` (preprocess_random_split.py:35) strips
+    digits/punctuation entirely, then splits on whitespace — so every
+    later apostrophe rule is a no-op."""
+    cases = {
+        "win 100 strings now!": ["win", "strings", "now"],
+        "5-star product, A+ quality": ["star", "product", "a", "quality"],
+        "it's the BEST (really)": ["it", "s", "the", "best", "really"],
+        "won't    break": ["won", "t", "break"],
+        "2020": [],
+    }
+    for text, want in cases.items():
+        assert tokenize(text) == want, text
+
+
+def test_vocab_threshold_matches_reference():
+    """Reference get_word_map uses the count at sorted-desc index
+    min(total-1, cap) as the survival threshold
+    (preprocess_random_split.py:95-99)."""
+    # 5 words with counts 5,4,3,2,1; cap=2 -> threshold = count at
+    # index 2 = 3 -> exactly three words survive
+    lists = [["a"] * 5 + ["b"] * 4 + ["c"] * 3 + ["d"] * 2 + ["e"]]
+    wm, n = build_vocab(lists, cap=2)
+    assert n == 3
+    assert wm["a"] == 1 and wm["b"] == 2 and wm["c"] == 3
+    assert wm["d"] == 0 and wm["e"] == 0
+    # vocab within cap: threshold is the min count, everything survives
+    wm2, n2 = build_vocab(lists, cap=10)
+    assert n2 == 5
+
+
 def test_vocab_unk_and_order():
     lists = [["a", "b", "a"], ["c", "a", "b"]]
     wm, num_words = build_vocab(lists, cap=50000)
