@@ -21,7 +21,7 @@ from .train.loop import train_complete
 from .utils.logging import Timer, file_write, log_end_epoch
 
 
-def _finalize(hp, model, params, dataset, quiet: bool):
+def _finalize(hp, model, params, dataset, quiet: bool, mesh=None):
     """Test MSE + count maps + ranking for a trained gradient model."""
     from .data.batcher import Batcher
 
@@ -29,14 +29,19 @@ def _finalize(hp, model, params, dataset, quiet: bool):
     eval_step = make_eval_step(apply_fn, hp.model_type)
     test_b = Batcher(dataset.materialize(hp, "test"), hp.batch_size)
     metrics, ucm, icm = evaluate(eval_step, params, test_b, hp,
-                                 dataset.user_count, dataset.item_count)
+                                 dataset.user_count, dataset.item_count,
+                                 mesh=mesh)
 
     rank_step = make_rank_step(apply_fn, hp.model_type)
     neg_recs = dataset.materialize_negs(hp)
-    # Review-model candidate tensors are large; use a smaller outer batch.
+    # Review-model candidate tensors are large; use a smaller outer batch
+    # (kept divisible over the mesh data axis).
     rank_bs = max(1, hp.batch_size // (4 if hp.uses_reviews else 1))
+    if mesh is not None:
+        n_data = mesh.shape[hp.mesh_axes[0]]
+        rank_bs = -(-rank_bs // n_data) * n_data
     metrics.update(eval_ranking(rank_step, params, neg_recs, hp,
-                                batch_size=rank_bs))
+                                batch_size=rank_bs, mesh=mesh))
     return metrics, ucm, icm
 
 
@@ -62,9 +67,12 @@ def run(hp: HyperParams, dataset: Optional[ReviewDataset] = None,
     elif hp.model_type == "NeuMF":
         out = _run_neumf(hp, dataset, quiet=quiet)
     else:
+        from .parallel.mesh import mesh_from_hp
+        mesh = mesh_from_hp(hp)
         model = build_model(hp, dataset.word_vectors)
-        params, _ = train_complete(hp, model, dataset, quiet=quiet)
-        out = _finalize(hp, model, params, dataset, quiet)
+        params, _ = train_complete(hp, model, dataset, quiet=quiet,
+                                   mesh=mesh)
+        out = _finalize(hp, model, params, dataset, quiet, mesh=mesh)
 
     metrics, ucm, icm = out
     metrics["dataset"] = hp.dataset
@@ -75,14 +83,20 @@ def run(hp: HyperParams, dataset: Optional[ReviewDataset] = None,
 
 def _run_neumf(hp: HyperParams, dataset: ReviewDataset, quiet: bool):
     """NeuMF 3-phase pretrain: GMF, then MLP, then weight-surgery warm
-    start of the fused model (reference `main_NeuMF`, main.py:289-338)."""
+    start of the fused model (reference `main_NeuMF`, main.py:289-338).
+    One mesh is shared across all three phases."""
+    from .parallel.mesh import mesh_from_hp
+    mesh = mesh_from_hp(hp)
+
     gmf_hp = hp.replace(model_type="GMF")
     gmf_model = build_model(gmf_hp)
-    gmf_params, _ = train_complete(gmf_hp, gmf_model, dataset, quiet=quiet)
+    gmf_params, _ = train_complete(gmf_hp, gmf_model, dataset, quiet=quiet,
+                                   mesh=mesh)
 
     mlp_hp = hp.replace(model_type="MLP")
     mlp_model = build_model(mlp_hp)
-    mlp_params, _ = train_complete(mlp_hp, mlp_model, dataset, quiet=quiet)
+    mlp_params, _ = train_complete(mlp_hp, mlp_model, dataset, quiet=quiet,
+                                   mesh=mesh)
 
     model = build_model(hp)
     import jax
@@ -93,5 +107,6 @@ def _run_neumf(hp: HyperParams, dataset: ReviewDataset, quiet: bool):
     params = model.init({"params": rng, "dropout": rng}, sample,
                         train=False)["params"]
     params = neumf_warm_start(params, gmf_params, mlp_params)
-    params, _ = train_complete(hp, model, dataset, params=params, quiet=quiet)
-    return _finalize(hp, model, params, dataset, quiet)
+    params, _ = train_complete(hp, model, dataset, params=params,
+                               quiet=quiet, mesh=mesh)
+    return _finalize(hp, model, params, dataset, quiet, mesh=mesh)

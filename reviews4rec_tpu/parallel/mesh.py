@@ -36,6 +36,22 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     return Mesh(grid, axes)
 
 
+def mesh_from_hp(hp) -> Optional[Mesh]:
+    """The product-path mesh: built from `hp.mesh_shape`/`hp.mesh_axes`
+    (config.py), or None for the default single-device configuration so
+    1-chip runs skip mesh machinery entirely. This is what
+    `train_complete`/`api.run` call — the training path is mesh-driven,
+    not just the tests (SURVEY.md §2.8)."""
+    if int(np.prod(hp.mesh_shape)) <= 1:
+        return None
+    n_data = int(hp.mesh_shape[0])
+    if hp.batch_size % n_data:
+        raise ValueError(
+            f"batch_size {hp.batch_size} must divide over the data axis "
+            f"({n_data} shards); pick a multiple of {n_data}")
+    return make_mesh(tuple(hp.mesh_shape), tuple(hp.mesh_axes))
+
+
 # Parameter-name suffixes that hold per-entity rows and get sharded over
 # the `model` axis. Everything else is replicated.
 _ROW_SHARDED_2D = ("embedding",)
@@ -63,12 +79,39 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every batch array over the data axis on its leading dim."""
+    """Shard every batch array over the data axis on its leading dim.
 
-    def place(x):
-        return jax.device_put(x, NamedSharding(mesh, P("data")))
+    Multi-host: each process holds only its slice of the global batch
+    (see `host_slice`); `jax.make_array_from_process_local_data`
+    assembles the global array from the per-host shards, so batch rows
+    never cross DCN. Single-host: a plain device_put scatter over ICI.
+    """
+    sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        def place(x):
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+    else:
+        def place(x):
+            return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(place, batch)
+
+
+def host_slice(batch):
+    """This process's contiguous row range of a global batch. Identity
+    on a single host; under `jax.distributed` each host feeds only its
+    rows to `shard_batch` (per-host input sharding)."""
+    p = jax.process_count()
+    if p == 1:
+        return batch
+    pid = jax.process_index()
+
+    def sl(x):
+        per = x.shape[0] // p
+        return x[pid * per:(pid + 1) * per]
+
+    return jax.tree_util.tree_map(sl, batch)
 
 
 def replicate(tree, mesh: Mesh):

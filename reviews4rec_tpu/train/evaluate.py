@@ -60,18 +60,41 @@ def make_eval_step(apply_fn: Callable, model_type: str):
     return eval_step
 
 
+def _count_mse_maps(counts: np.ndarray, sq: np.ndarray
+                    ) -> Dict[int, list]:
+    """{train-frequency: [squared errors]} without a per-example Python
+    loop (reference eval.py:42-53 builds the same dict per example):
+    bincount-style segment sums keyed by the count value, then one
+    Python entry per *distinct* count (few dozen, not per-example)."""
+    out: Dict[int, list] = {}
+    if counts.size == 0:
+        return out
+    order = np.argsort(counts, kind="stable")
+    counts_s = counts[order]
+    sq_s = sq[order]
+    uniq, starts = np.unique(counts_s, return_index=True)
+    for j, c in enumerate(uniq):
+        end = starts[j + 1] if j + 1 < len(uniq) else len(sq_s)
+        out[int(c)] = sq_s[starts[j]:end].tolist()
+    return out
+
+
 def evaluate(eval_step, params, batcher: Batcher, hp: HyperParams,
-             user_count: np.ndarray, item_count: np.ndarray
-             ) -> Tuple[Dict, Dict, Dict]:
+             user_count: np.ndarray, item_count: np.ndarray,
+             mesh=None) -> Tuple[Dict, Dict, Dict]:
     """Split MSE + per-train-frequency MSE maps (reference evaluate(),
-    eval.py:11-62)."""
+    eval.py:11-62). With a mesh, batches are sharded over the data axis
+    (single-host; multi-host eval keeps batches replicated so every
+    process computes identical metrics)."""
+    from ..train.loop import make_placer
+
+    place = make_placer(mesh if jax.process_count() == 1 else None)
     total_sq, total_n = 0.0, 0.0
     right_sq, trans_sum, batches = 0.0, 0.0, 0.0
-    user_count_mse_map: Dict[int, list] = {}
-    item_count_mse_map: Dict[int, list] = {}
+    all_sq, all_users, all_items = [], [], []
 
     for batch in batcher:
-        out = eval_step(params, batch)
+        out = eval_step(params, place(batch))
         w = batch["weight"].astype(bool)
         sq = np.asarray(out["sq"])[w]
         total_sq += float(sq.sum())
@@ -80,15 +103,15 @@ def evaluate(eval_step, params, batcher: Batcher, hp: HyperParams,
             right_sq += float(np.asarray(out["sq_right"])[w].mean())
             trans_sum += float(out["trans"])
             batches += 1.0
+        all_sq.append(sq)
+        all_users.append(batch["user"][w])
+        all_items.append(batch["item"][w])
 
-        users = batch["user"][w]
-        items = batch["item"][w]
-        ucnt = user_count[users]
-        icnt = item_count[items]
-        for c, e in zip(ucnt, sq):
-            user_count_mse_map.setdefault(int(c), []).append(float(e))
-        for c, e in zip(icnt, sq):
-            item_count_mse_map.setdefault(int(c), []).append(float(e))
+    sq = np.concatenate(all_sq) if all_sq else np.zeros(0)
+    users = np.concatenate(all_users) if all_users else np.zeros(0, int)
+    items = np.concatenate(all_items) if all_items else np.zeros(0, int)
+    user_count_mse_map = _count_mse_maps(user_count[users], sq)
+    item_count_mse_map = _count_mse_maps(item_count[items], sq)
 
     metrics = {"MSE": round(total_sq / max(total_n, 1.0), 4)}
     if batches:
@@ -114,14 +137,17 @@ def make_rank_step(apply_fn: Callable, model_type: str):
 
 
 def eval_ranking(rank_step, params, neg_records, hp: HyperParams,
-                 batch_size: int = 0) -> Dict:
+                 batch_size: int = 0, mesh=None) -> Dict:
     """HR@k / NDCG@k over per-user candidate sets (reference
     eval_ranking(), eval.py:64-91: k=1, hit iff argmax is the positive)."""
+    from ..train.loop import make_placer
+
+    place = make_placer(mesh if jax.process_count() == 1 else None)
     bs = batch_size or hp.batch_size
     batcher = Batcher(neg_records, bs)
     ranks = []
     for batch in batcher:
-        r = np.asarray(rank_step(params, batch))
+        r = np.asarray(rank_step(params, place(batch)))
         ranks.append(r[batch["weight"].astype(bool)])
     ranks = np.concatenate(ranks) if ranks else np.zeros(0, np.int64)
 

@@ -103,7 +103,17 @@ def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
     return train_step
 
 
-def _prefetch(batcher, depth: int = 2):
+def make_placer(mesh) -> Callable:
+    """Host batch -> device batch. With a mesh: shard rows over the data
+    axis (each host contributes only its slice under multi-host);
+    without: a plain transfer."""
+    if mesh is None:
+        return lambda batch: jax.tree_util.tree_map(jnp.asarray, batch)
+    from ..parallel.mesh import host_slice, shard_batch
+    return lambda batch: shard_batch(host_slice(batch), mesh)
+
+
+def _prefetch(batcher, place: Callable, depth: int = 2):
     """Move batches to device `depth` steps ahead of consumption so the
     host->device copy overlaps the previous step's compute (the tunneled
     TPU makes transfer latency visible)."""
@@ -112,7 +122,7 @@ def _prefetch(batcher, depth: int = 2):
     buf = collections.deque()
     it = iter(batcher)
     for batch in it:
-        buf.append(jax.tree_util.tree_map(jnp.asarray, batch))
+        buf.append(place(batch))
         if len(buf) >= depth:
             yield buf.popleft()
     while buf:
@@ -120,10 +130,13 @@ def _prefetch(batcher, depth: int = 2):
 
 
 def train_epoch(train_step, state: TrainState, batcher: Batcher,
-                rng) -> Tuple[TrainState, Dict]:
+                rng, place: Optional[Callable] = None
+                ) -> Tuple[TrainState, Dict]:
     from .profiler import Throughput, annotate
 
     tp = Throughput()
+    if place is None:
+        place = make_placer(None)
     # Accumulate metrics as device scalars: a float() per step would
     # block on the device and serialize dispatch; one sync per epoch
     # keeps the step pipeline full.
@@ -131,7 +144,7 @@ def train_epoch(train_step, state: TrainState, batcher: Batcher,
     n = jnp.zeros(())
     bs = batcher.batch_size
     remaining = batcher.n
-    for batch in _prefetch(batcher):
+    for batch in _prefetch(batcher, place):
         rng, step_rng = jax.random.split(rng)
         with annotate("train_step"):
             state, m = train_step(state, batch, step_rng)
@@ -146,13 +159,25 @@ def train_epoch(train_step, state: TrainState, batcher: Batcher,
 
 def train_complete(hp: HyperParams, model, dataset, *,
                    params=None, quiet: bool = True,
-                   checkpoint_path: Optional[str] = None):
+                   checkpoint_path: Optional[str] = None, mesh=None):
     """Full training run with per-epoch validation and best-val snapshot
     (reference `train_complete`, main.py:73-136). Returns best params.
     When `checkpoint_path` is set, the best-val params are persisted
-    there (reference main.py:123-126)."""
+    there (reference main.py:123-126).
+
+    Mesh-driven: `hp.mesh_shape` other than (1, 1) builds the
+    data x model mesh (parallel/mesh.py), row-shards the embedding/bias
+    tables over `model`, shards every batch over `data`, and lets
+    sharded autodiff insert the gradient psums. Pass `mesh` explicitly
+    to reuse one across phases (NeuMF)."""
+    import contextlib
+
+    from ..parallel.mesh import mesh_from_hp, shard_params
     from .checkpoint import save_checkpoint
     from .evaluate import evaluate, make_apply_fn, make_eval_step
+
+    if mesh is None:
+        mesh = mesh_from_hp(hp)
 
     apply_fn = make_apply_fn(model)
     optimizer = make_optimizer(hp)
@@ -163,41 +188,51 @@ def train_complete(hp: HyperParams, model, dataset, *,
                       shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
     val_b = Batcher(val_recs, hp.batch_size)
 
-    rng = jax.random.PRNGKey(hp.seed)
-    if params is None:
-        rng, init_rng = jax.random.split(rng)
-        sample = next(iter(train_b))
-        params = model.init({"params": init_rng, "dropout": init_rng},
-                            sample, train=False)["params"]
+    ctx = jax.set_mesh(mesh) if mesh is not None else \
+        contextlib.nullcontext()
+    with ctx:
+        rng = jax.random.PRNGKey(hp.seed)
+        if params is None:
+            rng, init_rng = jax.random.split(rng)
+            sample = next(iter(train_b))
+            params = model.init({"params": init_rng, "dropout": init_rng},
+                                sample, train=False)["params"]
+        if mesh is not None:
+            params = shard_params(params, mesh)
 
-    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
-    train_step = make_train_step(apply_fn, optimizer, hp.model_type)
-    eval_step = make_eval_step(apply_fn, hp.model_type)
+        state = TrainState(params, optimizer.init(params),
+                           jnp.zeros((), jnp.int32))
+        train_step = make_train_step(apply_fn, optimizer, hp.model_type)
+        eval_step = make_eval_step(apply_fn, hp.model_type)
+        place = make_placer(mesh)
 
-    best_mse = float("inf")
-    # copy, not alias: state.params' buffers get donated to epoch 1's
-    # first train_step, and if validation never improves (NaN MSE) the
-    # aliased tree would be returned with deleted buffers
-    best_params = jax.tree_util.tree_map(jnp.copy, state.params)
-    log = hp.log_file()
-    for epoch in range(1, hp.epochs + 1):
-        t0 = time.time()
-        rng, epoch_rng = jax.random.split(rng)
-        state, train_metrics = train_epoch(train_step, state, train_b,
-                                           epoch_rng)
-        metrics, _, _ = evaluate(eval_step, state.params, val_b, hp,
-                                 dataset.user_count, dataset.item_count)
-        metrics["examples_per_s"] = train_metrics["examples_per_s"]
-        log_end_epoch(log, metrics, epoch, time.time() - t0, quiet=quiet)
-        if metrics["MSE"] < best_mse:
-            best_mse = metrics["MSE"]
-            # deep copy: the live params' buffers get donated to the
-            # next epoch's first train_step
-            best_params = jax.tree_util.tree_map(jnp.copy, state.params)
-            if checkpoint_path:
-                save_checkpoint(checkpoint_path, best_params,
-                                opt_state=state.opt_state,
-                                step=int(state.step), epoch=epoch,
-                                extra={"val_mse": best_mse})
+        best_mse = float("inf")
+        # copy, not alias: state.params' buffers get donated to epoch
+        # 1's first train_step, and if validation never improves (NaN
+        # MSE) the aliased tree would be returned with deleted buffers
+        best_params = jax.tree_util.tree_map(jnp.copy, state.params)
+        log = hp.log_file()
+        for epoch in range(1, hp.epochs + 1):
+            t0 = time.time()
+            rng, epoch_rng = jax.random.split(rng)
+            state, train_metrics = train_epoch(train_step, state, train_b,
+                                               epoch_rng, place)
+            metrics, _, _ = evaluate(eval_step, state.params, val_b, hp,
+                                     dataset.user_count,
+                                     dataset.item_count, mesh=mesh)
+            metrics["examples_per_s"] = train_metrics["examples_per_s"]
+            log_end_epoch(log, metrics, epoch, time.time() - t0,
+                          quiet=quiet)
+            if metrics["MSE"] < best_mse:
+                best_mse = metrics["MSE"]
+                # deep copy: the live params' buffers get donated to the
+                # next epoch's first train_step
+                best_params = jax.tree_util.tree_map(jnp.copy,
+                                                     state.params)
+                if checkpoint_path:
+                    save_checkpoint(checkpoint_path, best_params,
+                                    opt_state=state.opt_state,
+                                    step=int(state.step), epoch=epoch,
+                                    extra={"val_mse": best_mse})
 
     return best_params, best_mse

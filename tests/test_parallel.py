@@ -91,6 +91,49 @@ def test_dryrun_multichip():
     g.dryrun_multichip(8)  # must not raise
 
 
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_api_run_on_mesh_matches_single_device(dataset, hp_base,
+                                               mesh_shape):
+    """The PRODUCT path: api.run with hp.mesh_shape != (1,1) must train
+    on the mesh and reproduce single-device metrics (same data, same
+    seed). Sharded autodiff only reorders reductions, so MSE agrees to
+    float tolerance and the discrete HR@k exactly."""
+    from reviews4rec_tpu.api import run
+
+    hp = hp_base.replace(model_type="MF_dot", epochs=2, batch_size=32)
+    ref, ucm_ref, icm_ref = run(hp, dataset)
+    got, ucm, icm = run(hp.replace(mesh_shape=mesh_shape), dataset)
+    assert np.isclose(got["MSE"], ref["MSE"], atol=3e-4)
+    assert got["HR@1"] == ref["HR@1"]
+    assert set(ucm) == set(ucm_ref)
+    for c in ucm_ref:
+        np.testing.assert_allclose(np.sort(ucm[c]), np.sort(ucm_ref[c]),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_api_run_mesh_review_model(dataset, hp_base):
+    """A review tower (deepconn) trains through api.run on a 4x2 mesh
+    without error and produces finite metrics."""
+    from reviews4rec_tpu.api import run
+
+    hp = hp_base.replace(model_type="deepconn", epochs=1, batch_size=16,
+                         mesh_shape=(4, 2))
+    m, _, _ = run(hp, dataset)
+    assert np.isfinite(m["MSE"])
+    assert "HR@1" in m
+
+
+def test_mesh_from_hp_validates_batch():
+    from reviews4rec_tpu.config import HyperParams
+    from reviews4rec_tpu.parallel.mesh import mesh_from_hp
+
+    assert mesh_from_hp(HyperParams()) is None  # (1,1) -> no mesh
+    with pytest.raises(ValueError):
+        mesh_from_hp(HyperParams(mesh_shape=(8, 1), batch_size=12))
+    mesh = mesh_from_hp(HyperParams(mesh_shape=(4, 2), batch_size=16))
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+
 @pytest.mark.parametrize("window", [1, 3, 5])
 def test_seq_sharded_textcnn_matches_single_device(window):
     """Halo-exchange sequence parallelism (SURVEY.md §2.8): the
