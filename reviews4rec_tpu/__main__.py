@@ -1,0 +1,96 @@
+"""Training CLI: `python -m reviews4rec_tpu --model_type deepconn
+--dataset <name> ...`.
+
+The reference is driven by editing `hyper_params.py` and running
+`python main.py` (`/root/reference/README.md:47-65`); here every
+HyperParams field is a flag (auto-generated from the dataclass, so new
+config fields appear in the CLI without extra wiring). The run prints
+the final metric row and the log path — the same research outputs the
+reference dispatcher returns (`main.py:417-429`).
+
+Preprocessing has its own CLI: `python -m reviews4rec_tpu.data.preprocess`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import typing
+
+from .config import ALL_MODELS, HyperParams
+
+
+def _tuple_parser(elem_type):
+    def parse(s: str):
+        s = s.strip()
+        if not s:
+            return ()
+        return tuple(elem_type(x) for x in s.split(","))
+    return parse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m reviews4rec_tpu",
+        description="Train + evaluate one model on a preprocessed dataset "
+                    "(test MSE, HR@k/NDCG@k, count-vs-MSE maps).",
+        epilog="Preprocess raw Amazon/RateBeer data first with "
+               "`python -m reviews4rec_tpu.data.preprocess`.")
+    hints = typing.get_type_hints(HyperParams)
+    for f in dataclasses.fields(HyperParams):
+        t = hints[f.name]
+        kw = {"default": None, "help": f"default: {f.default!r}"}
+        if t is bool:
+            kw["type"] = lambda s: s.lower() in ("1", "true", "yes", "on")
+            kw["metavar"] = "BOOL"
+        elif typing.get_origin(t) is tuple:
+            elem = typing.get_args(t)[0]
+            kw["type"] = _tuple_parser(elem)
+            kw["metavar"] = "X,Y,..."
+        else:
+            kw["type"] = t
+        if f.name == "model_type":
+            kw["choices"] = ALL_MODELS
+        p.add_argument(f"--{f.name}", **kw)
+    p.add_argument("--json", action="store_true",
+                   help="print the final metrics as one JSON line")
+    return p
+
+
+def hp_from_args(args: argparse.Namespace) -> HyperParams:
+    overrides = {f.name: getattr(args, f.name)
+                 for f in dataclasses.fields(HyperParams)
+                 if getattr(args, f.name) is not None}
+    return HyperParams(**overrides)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    hp = hp_from_args(args)
+
+    data_dir = hp.data_dir()
+    if not os.path.exists(os.path.join(data_dir, "corpus.npz")):
+        print(f"error: no preprocessed corpus at {data_dir}/corpus.npz — "
+              f"run `python -m reviews4rec_tpu.data.preprocess` first",
+              file=sys.stderr)
+        return 2
+
+    from .api import run
+    metrics, user_map, item_map = run(hp, quiet=False)
+
+    if args.json:
+        print(json.dumps(metrics))
+    else:
+        body = " | ".join(f"{k} = {v}" for k, v in metrics.items())
+        print(f"\nFINAL ({hp.model_type} on {hp.dataset}): {body}")
+        print(f"log: {hp.log_file()}")
+        if hp.save_model and hp.family in ("id", "review"):
+            print(f"model: {hp.model_path()}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -70,8 +70,11 @@ def run(hp: HyperParams, dataset: Optional[ReviewDataset] = None,
         from .parallel.mesh import mesh_from_hp
         mesh = mesh_from_hp(hp)
         model = build_model(hp, dataset.word_vectors)
+        # best-val checkpoint persisted in the normal flow (reference
+        # main.py:123-126 always saves model_path)
+        ckpt = hp.model_path() if hp.save_model else None
         params, _ = train_complete(hp, model, dataset, quiet=quiet,
-                                   mesh=mesh)
+                                   mesh=mesh, checkpoint_path=ckpt)
         out = _finalize(hp, model, params, dataset, quiet, mesh=mesh)
 
     metrics, ucm, icm = out
@@ -88,15 +91,20 @@ def _run_neumf(hp: HyperParams, dataset: ReviewDataset, quiet: bool):
     from .parallel.mesh import mesh_from_hp
     mesh = mesh_from_hp(hp)
 
+    # phase checkpoints: run_tag embeds model_type, so the GMF/MLP
+    # phases land in distinct files (reference appends "_gmf"/"_mlp" to
+    # one path, main.py:305,314)
     gmf_hp = hp.replace(model_type="GMF")
     gmf_model = build_model(gmf_hp)
-    gmf_params, _ = train_complete(gmf_hp, gmf_model, dataset, quiet=quiet,
-                                   mesh=mesh)
+    gmf_params, _ = train_complete(
+        gmf_hp, gmf_model, dataset, quiet=quiet, mesh=mesh,
+        checkpoint_path=gmf_hp.model_path() if hp.save_model else None)
 
     mlp_hp = hp.replace(model_type="MLP")
     mlp_model = build_model(mlp_hp)
-    mlp_params, _ = train_complete(mlp_hp, mlp_model, dataset, quiet=quiet,
-                                   mesh=mesh)
+    mlp_params, _ = train_complete(
+        mlp_hp, mlp_model, dataset, quiet=quiet, mesh=mesh,
+        checkpoint_path=mlp_hp.model_path() if hp.save_model else None)
 
     model = build_model(hp)
     import jax
@@ -107,6 +115,7 @@ def _run_neumf(hp: HyperParams, dataset: ReviewDataset, quiet: bool):
     params = model.init({"params": rng, "dropout": rng}, sample,
                         train=False)["params"]
     params = neumf_warm_start(params, gmf_params, mlp_params)
-    params, _ = train_complete(hp, model, dataset, params=params,
-                               quiet=quiet, mesh=mesh)
+    params, _ = train_complete(
+        hp, model, dataset, params=params, quiet=quiet, mesh=mesh,
+        checkpoint_path=hp.model_path() if hp.save_model else None)
     return _finalize(hp, model, params, dataset, quiet, mesh=mesh)

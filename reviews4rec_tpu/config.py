@@ -47,6 +47,19 @@ class HyperParams:
     dropout: float = 0.6
     model_type: str = "bias_only"
 
+    # ---- training control ----
+    # Early-stop patience in epochs without validation improvement
+    # (reference MPCN `--early_stop`, MPCN/parser.py; select-test-by-dev
+    # semantics of experiment.py:231-309 — test metrics are always
+    # computed with the best-validation parameters). 0 disables.
+    early_stop: int = 0
+    # Persist the best-validation checkpoint at model_path() during
+    # api.run (reference main.py:123-126 always saves best-val state).
+    save_model: bool = True
+    # Resume mid-training from an existing checkpoint at model_path()
+    # (new capability; the reference cannot resume, SURVEY.md §5).
+    resume: bool = False
+
     narre_num_reviews: int = 10
     narre_num_words: int = 100
 

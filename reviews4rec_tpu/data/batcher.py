@@ -36,6 +36,12 @@ class Batcher:
     def __len__(self) -> int:
         return -(-self.n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Align the shuffle stream after a mid-training resume: the
+        next iteration draws the permutation epoch `epoch + 1` would
+        have seen in an uninterrupted run."""
+        self._epoch = int(epoch)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = np.arange(self.n)
         if self.shuffle:

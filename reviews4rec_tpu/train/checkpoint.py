@@ -18,7 +18,8 @@ from flax import serialization
 
 def save_checkpoint(path: str, params: Any, *, opt_state: Any = None,
                     step: int = 0, epoch: int = 0,
-                    extra: Optional[Dict] = None) -> None:
+                    extra: Optional[Dict] = None,
+                    best_params: Any = None) -> None:
     payload = {
         # to_state_dict flattens NamedTuple optimizer states into plain
         # dicts that the msgpack codec accepts
@@ -28,6 +29,11 @@ def save_checkpoint(path: str, params: Any, *, opt_state: Any = None,
         "step": step,
         "epoch": epoch,
         "extra": extra or {},
+        # latest + best-validation params travel together so one file
+        # supports both resume-mid-training and test-at-best-dev reload
+        "best_params": (serialization.to_state_dict(
+            jax.device_get(best_params)) if best_params is not None
+            else {}),
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
@@ -45,3 +51,20 @@ def restore_params(path: str, template: Any) -> Any:
     """Restore params with the template's pytree structure (and dtypes)."""
     payload = load_checkpoint(path)
     return serialization.from_state_dict(template, payload["params"])
+
+
+def restore_like(template: Any, state_dict: Any) -> Any:
+    """Restore a state dict into the template's pytree, re-placing every
+    leaf on the template leaf's sharding (msgpack round-trips lose device
+    placement; under a mesh the restored tree must keep its row-sharded
+    tables sharded)."""
+    import jax.numpy as jnp
+
+    restored = serialization.from_state_dict(template, state_dict)
+
+    def place(t, v):
+        if hasattr(t, "sharding"):
+            return jax.device_put(jnp.asarray(v, t.dtype), t.sharding)
+        return v
+
+    return jax.tree_util.tree_map(place, template, restored)

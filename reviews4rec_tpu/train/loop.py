@@ -160,10 +160,17 @@ def train_epoch(train_step, state: TrainState, batcher: Batcher,
 def train_complete(hp: HyperParams, model, dataset, *,
                    params=None, quiet: bool = True,
                    checkpoint_path: Optional[str] = None, mesh=None):
-    """Full training run with per-epoch validation and best-val snapshot
-    (reference `train_complete`, main.py:73-136). Returns best params.
-    When `checkpoint_path` is set, the best-val params are persisted
-    there (reference main.py:123-126).
+    """Full training run with per-epoch validation, best-val snapshot
+    and early stopping (reference `train_complete` main.py:73-136 +
+    MPCN's `--early_stop` patience, MPCN/train.py:746-760). Returns
+    (best_params, best_val_mse); test metrics computed with the returned
+    params implement select-test-by-dev (experiment.py:231-309).
+
+    When `checkpoint_path` is set, every epoch persists latest params +
+    optimizer state + best-val params in one file; `hp.resume` restores
+    the latest state and continues where the run stopped (per-epoch RNG
+    and shuffle streams are keyed by the absolute epoch number, so a
+    resumed run is bitwise-identical to an uninterrupted one).
 
     Mesh-driven: `hp.mesh_shape` other than (1, 1) builds the
     data x model mesh (parallel/mesh.py), row-shards the embedding/bias
@@ -171,9 +178,10 @@ def train_complete(hp: HyperParams, model, dataset, *,
     sharded autodiff insert the gradient psums. Pass `mesh` explicitly
     to reuse one across phases (NeuMF)."""
     import contextlib
+    import os
 
     from ..parallel.mesh import mesh_from_hp, shard_params
-    from .checkpoint import save_checkpoint
+    from .checkpoint import load_checkpoint, restore_like, save_checkpoint
     from .evaluate import evaluate, make_apply_fn, make_eval_step
 
     if mesh is None:
@@ -188,12 +196,18 @@ def train_complete(hp: HyperParams, model, dataset, *,
                       shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
     val_b = Batcher(val_recs, hp.batch_size)
 
+    resume_payload = None
+    if checkpoint_path and hp.resume and os.path.exists(checkpoint_path):
+        resume_payload = load_checkpoint(checkpoint_path)
+
     ctx = jax.set_mesh(mesh) if mesh is not None else \
         contextlib.nullcontext()
     with ctx:
-        rng = jax.random.PRNGKey(hp.seed)
+        # fold_in (not split) keys the per-epoch streams by the absolute
+        # epoch number, so a resumed run replays the identical RNGs
+        root_rng = jax.random.PRNGKey(hp.seed)
         if params is None:
-            rng, init_rng = jax.random.split(rng)
+            init_rng = jax.random.fold_in(root_rng, 0)
             sample = next(iter(train_b))
             params = model.init({"params": init_rng, "dropout": init_rng},
                                 sample, train=False)["params"]
@@ -202,19 +216,37 @@ def train_complete(hp: HyperParams, model, dataset, *,
 
         state = TrainState(params, optimizer.init(params),
                            jnp.zeros((), jnp.int32))
-        train_step = make_train_step(apply_fn, optimizer, hp.model_type)
-        eval_step = make_eval_step(apply_fn, hp.model_type)
-        place = make_placer(mesh)
 
+        start_epoch = 1
         best_mse = float("inf")
         # copy, not alias: state.params' buffers get donated to epoch
         # 1's first train_step, and if validation never improves (NaN
         # MSE) the aliased tree would be returned with deleted buffers
         best_params = jax.tree_util.tree_map(jnp.copy, state.params)
+        since_improve = 0
+        if resume_payload is not None:
+            state = TrainState(
+                restore_like(state.params, resume_payload["params"]),
+                restore_like(state.opt_state, resume_payload["opt_state"]),
+                jnp.asarray(resume_payload["step"], jnp.int32))
+            if resume_payload["best_params"]:
+                best_params = restore_like(best_params,
+                                           resume_payload["best_params"])
+            start_epoch = int(resume_payload["epoch"]) + 1
+            best_mse = float(resume_payload["extra"].get("val_mse",
+                                                         best_mse))
+            since_improve = int(resume_payload["extra"].get(
+                "since_improve", 0))
+        train_b.set_epoch(start_epoch - 1)
+
+        train_step = make_train_step(apply_fn, optimizer, hp.model_type)
+        eval_step = make_eval_step(apply_fn, hp.model_type)
+        place = make_placer(mesh)
+
         log = hp.log_file()
-        for epoch in range(1, hp.epochs + 1):
+        for epoch in range(start_epoch, hp.epochs + 1):
             t0 = time.time()
-            rng, epoch_rng = jax.random.split(rng)
+            epoch_rng = jax.random.fold_in(root_rng, epoch)
             state, train_metrics = train_epoch(train_step, state, train_b,
                                                epoch_rng, place)
             metrics, _, _ = evaluate(eval_step, state.params, val_b, hp,
@@ -225,14 +257,24 @@ def train_complete(hp: HyperParams, model, dataset, *,
                           quiet=quiet)
             if metrics["MSE"] < best_mse:
                 best_mse = metrics["MSE"]
+                since_improve = 0
                 # deep copy: the live params' buffers get donated to the
                 # next epoch's first train_step
                 best_params = jax.tree_util.tree_map(jnp.copy,
                                                      state.params)
-                if checkpoint_path:
-                    save_checkpoint(checkpoint_path, best_params,
-                                    opt_state=state.opt_state,
-                                    step=int(state.step), epoch=epoch,
-                                    extra={"val_mse": best_mse})
+            else:
+                since_improve += 1
+            if checkpoint_path:
+                save_checkpoint(checkpoint_path, state.params,
+                                opt_state=state.opt_state,
+                                step=int(state.step), epoch=epoch,
+                                extra={"val_mse": best_mse,
+                                       "since_improve": since_improve},
+                                best_params=best_params)
+            if hp.early_stop and since_improve >= hp.early_stop:
+                file_write(log, f"early stop at epoch {epoch}: no val "
+                                f"improvement for {since_improve} epochs",
+                           quiet=quiet)
+                break
 
     return best_params, best_mse
