@@ -47,6 +47,16 @@ class HyperParams:
     dropout: float = 0.6
     model_type: str = "bias_only"
 
+    # ---- training objective ----
+    # RAW_MSE trains pointwise on ratings (the reviews4rec runner's
+    # fixed objective). CE / BPR / HINGE train on sampled candidate
+    # grids (1 train positive + num_negs sampled unrated items) with
+    # the reference MPCN stack's ranking losses
+    # (MPCN/tf_models/model.py:701-733; see train/losses.py); epoch
+    # selection then uses validation HR@1 instead of MSE.
+    loss: str = "RAW_MSE"       # RAW_MSE | CE | BPR | HINGE
+    hinge_margin: float = 0.2   # MPCN/parser.py margin default
+
     # ---- training control ----
     # Early-stop patience in epochs without validation improvement
     # (reference MPCN `--early_stop`, MPCN/parser.py; select-test-by-dev

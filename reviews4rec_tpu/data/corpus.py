@@ -348,6 +348,66 @@ class ReviewDataset:
         self._cache[key] = recs
         return recs
 
+    def materialize_train_negs(self, hp, split: str = "train",
+                               seed: int = 0) -> Dict[str, np.ndarray]:
+        """Sampled candidate grids for ranking-loss training (hp.loss in
+        CE/BPR/HINGE): per (u, i) example of `split`, candidates =
+        [i, num_negs items sampled uniformly outside u's train set].
+        Same [N, C] layout as `materialize_negs`, so the jitted step and
+        rank evaluator are shared. (New capability — the reference's
+        ranking losses exist in the MPCN lib, model.py:722-733, but its
+        runner never builds train-time negative sets.)"""
+        key = ("train_negs", split,
+               _doc_layout(hp) if hp.family == "review" else "id",
+               hp.num_negs, seed)
+        if key in self._cache:
+            return self._cache[key]
+        sp = self.splits[split]
+        tr = self.splits["train"]
+        rng = np.random.default_rng(seed)
+        n, k = len(sp), hp.num_negs
+        pos: List[set] = [set() for _ in range(self.num_users)]
+        for u, i in zip(tr.user, tr.item):
+            pos[int(u)].add(int(i))
+
+        cands = np.empty((n, k + 1), np.int32)
+        cands[:, 0] = sp.item
+        draw = rng.integers(0, self.num_items, size=(n, k))
+        for x in range(n):
+            seen = pos[int(sp.user[x])]
+            for j in range(k):
+                v = int(draw[x, j])
+                # bounded rejection: a user who rated the whole catalog
+                # just keeps the collision (harmless, vanishing case)
+                for _ in range(10):
+                    if v not in seen:
+                        break
+                    v = int(rng.integers(0, self.num_items))
+                cands[x, j + 1] = v
+
+        user = np.repeat(sp.user, k + 1).reshape(n, k + 1).astype(np.int32)
+        rating = np.zeros((n, k + 1), np.float32)
+        rating[:, 0] = sp.rating
+        recs = {"user": user, "item": cands, "rating": rating}
+        if hp.family == "review":
+            # leakage removal for the positive pair: the user's own
+            # review of the positive item is dropped from the user doc
+            # in EVERY column (one consistent user doc per row) and from
+            # the positive item's doc (column 0 only — the removal index
+            # is meaningless for other items). Train split only; eval
+            # splits have nothing to remove (_examples semantics).
+            _, _, ui0, iu0, _ = self._examples(split)
+            ui = np.repeat(ui0, k + 1).reshape(n, k + 1)
+            iu = np.full((n, k + 1), -1, np.int32)
+            iu[:, 0] = iu0
+            neg1 = np.full(n * (k + 1), -1, np.int32)
+            out = self._text_records(hp, user.reshape(-1), cands.reshape(-1),
+                                     ui.reshape(-1), iu.reshape(-1), neg1)
+            for kk, v in out.items():
+                recs[kk] = v.reshape((n, k + 1) + v.shape[1:])
+        self._cache[key] = recs
+        return recs
+
     # ------------------------------------------------------------------
     # Persistence: one compressed .npz per dataset directory (replaces
     # the reference's pickle zoo, preprocess_random_split.py:271-298).

@@ -58,8 +58,16 @@ def make_optimizer(hp: HyperParams) -> optax.GradientTransformation:
     )
 
 
-def _batch_loss(preds, batch, model_type: str):
-    """Masked per-batch loss + squared-error accumulators."""
+def _batch_loss(preds, batch, model_type: str, loss_name: str = "RAW_MSE",
+                hinge_margin: float = 0.2):
+    """Masked per-batch loss + squared-error accumulators.
+
+    RAW_MSE operates on pointwise rating batches; CE/BPR/HINGE (the
+    reference MPCN loss surface, model.py:701-733, via train/losses.py)
+    operate on [B, C] candidate-grid batches with the positive in
+    column 0 (data/corpus.py::materialize_train_negs). For ranking
+    losses the "sq" accumulators carry the loss itself, so the epoch
+    banner reports mean training loss."""
     w = batch["weight"]
     y = batch["rating"]
     if model_type in ("transnet", "transnet++"):
@@ -71,14 +79,34 @@ def _batch_loss(preds, batch, model_type: str):
                 + jnp.sum((target - y) ** 2 * w) / jnp.maximum(jnp.sum(w), 1.0)
                 + trans_loss)
         sq = sq_src
-    else:
+    elif loss_name == "RAW_MSE":
         sq = (preds - y) ** 2
         loss = jnp.sum(sq * w) / jnp.maximum(jnp.sum(w), 1.0)
+    else:
+        from .losses import bpr, hinge, softmax_ce
+        pos, neg = preds[:, :1], preds[:, 1:]
+        wn = jnp.broadcast_to(w[:, None], neg.shape)
+        if loss_name == "CE":
+            labels = jax.nn.one_hot(jnp.zeros(preds.shape[0], jnp.int32),
+                                    preds.shape[1])
+            loss = softmax_ce(preds, labels, w)
+        elif loss_name == "BPR":
+            loss = bpr(pos, neg, wn)
+        elif loss_name == "HINGE":
+            # reference hinge reduces by sum (model.py:727-733);
+            # normalize by batch rows to keep lr scale-independent
+            loss = hinge(pos, neg, hinge_margin, wn) \
+                / jnp.maximum(jnp.sum(w), 1.0)
+        else:
+            raise ValueError(f"unknown loss {loss_name!r}")
+        wsum = jnp.sum(w)
+        return loss, (loss * wsum, wsum)
     return loss, (jnp.sum(sq * w), jnp.sum(w))
 
 
 def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
-                    model_type: str):
+                    model_type: str, loss_name: str = "RAW_MSE",
+                    hinge_margin: float = 0.2):
     # donate_argnums=0: the previous TrainState's buffers are dead after
     # the update, so XLA reuses them in place — halves HBM traffic for
     # params/opt state. Snapshots of params that must outlive a step are
@@ -90,7 +118,8 @@ def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             preds = apply_fn(params, batch, True, rng)
-            return _batch_loss(preds, batch, model_type)
+            return _batch_loss(preds, batch, model_type, loss_name,
+                               hinge_margin)
 
         (loss, (sq_sum, n)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -166,6 +195,11 @@ def train_complete(hp: HyperParams, model, dataset, *,
     (best_params, best_val_mse); test metrics computed with the returned
     params implement select-test-by-dev (experiment.py:231-309).
 
+    `hp.loss` other than RAW_MSE trains on sampled candidate grids with
+    the corresponding ranking loss and selects epochs by validation
+    HR@1; the returned scalar is then -best_HR@1 (lower-is-better kept
+    uniform).
+
     When `checkpoint_path` is set, every epoch persists latest params +
     optimizer state + best-val params in one file; `hp.resume` restores
     the latest state and continues where the run stopped (per-epoch RNG
@@ -182,7 +216,8 @@ def train_complete(hp: HyperParams, model, dataset, *,
 
     from ..parallel.mesh import mesh_from_hp, shard_params
     from .checkpoint import load_checkpoint, restore_like, save_checkpoint
-    from .evaluate import evaluate, make_apply_fn, make_eval_step
+    from .evaluate import (eval_ranking, evaluate, make_apply_fn,
+                           make_eval_step, make_rank_step)
 
     if mesh is None:
         mesh = mesh_from_hp(hp)
@@ -190,8 +225,20 @@ def train_complete(hp: HyperParams, model, dataset, *,
     apply_fn = make_apply_fn(model)
     optimizer = make_optimizer(hp)
 
-    train_recs = dataset.materialize(hp, "train")
-    val_recs = dataset.materialize(hp, "val")
+    ranking = hp.loss != "RAW_MSE"
+    if ranking and hp.model_type in ("transnet", "transnet++"):
+        raise ValueError("ranking losses are not defined for transnet's "
+                         "routed 3-loss objective; use loss='RAW_MSE'")
+    if ranking:
+        # candidate-grid training: [N, C] grids with the positive in
+        # column 0; validation selects by HR@1 over val grids
+        train_recs = dataset.materialize_train_negs(hp, "train",
+                                                    seed=hp.seed)
+        val_recs = dataset.materialize_train_negs(hp, "val",
+                                                  seed=hp.seed + 1)
+    else:
+        train_recs = dataset.materialize(hp, "train")
+        val_recs = dataset.materialize(hp, "val")
     train_b = Batcher(train_recs, hp.batch_size,
                       shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
     val_b = Batcher(val_recs, hp.batch_size)
@@ -239,8 +286,11 @@ def train_complete(hp: HyperParams, model, dataset, *,
                 "since_improve", 0))
         train_b.set_epoch(start_epoch - 1)
 
-        train_step = make_train_step(apply_fn, optimizer, hp.model_type)
+        train_step = make_train_step(apply_fn, optimizer, hp.model_type,
+                                     hp.loss, hp.hinge_margin)
         eval_step = make_eval_step(apply_fn, hp.model_type)
+        rank_step = make_rank_step(apply_fn, hp.model_type) if ranking \
+            else None
         place = make_placer(mesh)
 
         log = hp.log_file()
@@ -249,12 +299,20 @@ def train_complete(hp: HyperParams, model, dataset, *,
             epoch_rng = jax.random.fold_in(root_rng, epoch)
             state, train_metrics = train_epoch(train_step, state, train_b,
                                                epoch_rng, place)
-            metrics, _, _ = evaluate(eval_step, state.params, val_b, hp,
-                                     dataset.user_count,
-                                     dataset.item_count, mesh=mesh)
+            if ranking:
+                rank = eval_ranking(rank_step, state.params, val_recs, hp,
+                                    batch_size=hp.batch_size, mesh=mesh)
+                # negated HR@1 so lower-is-better selection is shared
+                metrics = {"train_loss": train_metrics["MSE"], **rank,
+                           "MSE": -rank["HR@1"]}
+            else:
+                metrics, _, _ = evaluate(eval_step, state.params, val_b,
+                                         hp, dataset.user_count,
+                                         dataset.item_count, mesh=mesh)
             metrics["examples_per_s"] = train_metrics["examples_per_s"]
-            log_end_epoch(log, metrics, epoch, time.time() - t0,
-                          quiet=quiet)
+            log_end_epoch(log, {k: v for k, v in metrics.items()
+                                if not (ranking and k == "MSE")},
+                          epoch, time.time() - t0, quiet=quiet)
             if metrics["MSE"] < best_mse:
                 best_mse = metrics["MSE"]
                 since_improve = 0
