@@ -21,6 +21,8 @@ class DeepCoNN(nn.Module):
     word_vectors: jnp.ndarray  # [V, E] frozen (DeepCoNN.py:14-16)
     dropout: float = 0.6
     use_fm: bool = True  # True = 'deepconn', False = 'deepconn++'
+    use_pallas: bool = False       # fused conv+relu+maxpool kernel
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -28,12 +30,14 @@ class DeepCoNN(nn.Module):
         udoc = batch["user_doc"].reshape(-1, batch["user_doc"].shape[-1])
         idoc = batch["item_doc"].reshape(-1, batch["item_doc"].shape[-1])
 
+        cnn = dict(use_pallas=self.use_pallas,
+                   pallas_interpret=self.pallas_interpret)
         u = jnp.take(self.word_vectors, udoc, axis=0)  # [B, L, E]
         i = jnp.take(self.word_vectors, idoc, axis=0)
-        u = TextCNN(self.latent_size, self.dropout, name="user_conv")(
-            u, train=train)
-        i = TextCNN(self.latent_size, self.dropout, name="item_conv")(
-            i, train=train)
+        u = TextCNN(self.latent_size, self.dropout, name="user_conv",
+                    **cnn)(u, train=train)
+        i = TextCNN(self.latent_size, self.dropout, name="item_conv",
+                    **cnn)(i, train=train)
         cat = jnp.concatenate([u, i], axis=-1)
 
         gb = self.param("global_bias", nn.initializers.constant(4.0), (1,))

@@ -73,7 +73,14 @@ class TextCNN(nn.Module):
                           (self.num_filters,))
         if self.use_pallas:
             from ..ops.textcnn_pallas import textcnn_pool
-            y = textcnn_pool(x, kernel, bias, w, self.pallas_interpret)
+            # bf16 operand storage on real TPU: numerically identical to
+            # the default-precision f32 path (XLA lowers f32 matmuls to
+            # single-pass bf16 on v5e), half the HBM traffic. Interpret
+            # mode (CPU tests) keeps true f32 to match the XLA branch.
+            dot_dtype = jnp.float32 if self.pallas_interpret \
+                else jnp.bfloat16
+            y = textcnn_pool(x, kernel, bias, w, self.pallas_interpret,
+                             dot_dtype)
         else:
             # torch Conv2d pads (window-1) on both ends -> T+w-1 outputs
             xp = jnp.pad(x, ((0, 0), (w - 1, w - 1), (0, 0)))

@@ -24,6 +24,8 @@ class NARRE(nn.Module):
     latent_size: int
     word_vectors: jnp.ndarray
     dropout: float = 0.6
+    use_pallas: bool = False       # fused conv+relu+maxpool kernel
+    pallas_interpret: bool = False
 
     def _attend(self, feats, ctx_emb, scorer, train):
         # feats: [B, R, L]; ctx_emb: [B, R, L] neighbor-id embeddings
@@ -51,12 +53,14 @@ class NARRE(nn.Module):
 
         # Per-review encoding: fold reviews into the batch axis
         # (NARRE.py:99-104), one TextCNN per side.
+        cnn = dict(use_pallas=self.use_pallas,
+                   pallas_interpret=self.pallas_interpret)
         uw = jnp.take(self.word_vectors, udoc.reshape(b * r, w), axis=0)
         iw = jnp.take(self.word_vectors, idoc.reshape(b * r, w), axis=0)
-        uf = TextCNN(self.latent_size, self.dropout, name="user_conv")(
-            uw, train=train).reshape(b, r, -1)
-        itf = TextCNN(self.latent_size, self.dropout, name="item_conv")(
-            iw, train=train).reshape(b, r, -1)
+        uf = TextCNN(self.latent_size, self.dropout, name="user_conv",
+                     **cnn)(uw, train=train).reshape(b, r, -1)
+        itf = TextCNN(self.latent_size, self.dropout, name="item_conv",
+                      **cnn)(iw, train=train).reshape(b, r, -1)
 
         # Review-level attention with neighbor ids as context
         # (NARRE.py:110-113): the user's reviews attend over the items

@@ -37,6 +37,8 @@ class TransNet(nn.Module):
     dropout: float = 0.6
     plus: bool = False
     id_embed_size: int = 5  # TransNet.py:75-76
+    use_pallas: bool = False       # fused conv+relu+maxpool kernel
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -56,12 +58,14 @@ class TransNet(nn.Module):
 
         emb = lambda doc: jnp.take(self.word_vectors, doc, axis=0)
         drop = nn.Dropout(self.dropout, deterministic=not train)
+        cnn = dict(use_pallas=self.use_pallas,
+                   pallas_interpret=self.pallas_interpret)
 
         # ---- source net ----
-        u = TextCNN(self.latent_size, self.dropout, name="source_user_conv")(
-            emb(udoc), train=train)
-        i = TextCNN(self.latent_size, self.dropout, name="source_item_conv")(
-            emb(idoc), train=train)
+        u = TextCNN(self.latent_size, self.dropout, **cnn,
+                    name="source_user_conv")(emb(udoc), train=train)
+        i = TextCNN(self.latent_size, self.dropout, **cnn,
+                    name="source_item_conv")(emb(idoc), train=train)
         cat = jnp.concatenate([u, i], axis=-1)
         ir = nn.Dense(self.latent_size, kernel_init=xavier_uniform(),
                       name="project_fc0")(cat)
@@ -71,8 +75,8 @@ class TransNet(nn.Module):
         source_ir = drop(ir)
 
         # ---- target net ----
-        t = TextCNN(self.latent_size, self.dropout, name="target_conv")(
-            emb(tdoc), train=train)
+        t = TextCNN(self.latent_size, self.dropout, **cnn,
+                    name="target_conv")(emb(tdoc), train=train)
         target_ir = drop(t)
         target_out = FM(8, name="target_fm")(target_ir)
 

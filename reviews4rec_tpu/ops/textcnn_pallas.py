@@ -6,14 +6,27 @@ conv window W=3 over [B, T~1000, E=64] with F=100 filters, ReLU, max
 over time. Lowered naively, XLA materializes the windowed unfold
 ([B, T+W-1, W*E], 3x the activations) and the conv output
 ([B, T+W-1, F]) in HBM; this kernel streams time tiles through the
-standard Pallas pipeline (Mosaic double-buffers the block DMAs), runs
-the conv as W shifted [bt*tt, E] x [E, F] MXU matmuls, and folds ReLU +
-running max (and argmax, for the VJP) into VMEM accumulators — only
-[B, F] ever returns to HBM.
+standard Pallas pipeline (Mosaic double-buffers the block DMAs) and
+folds conv + ReLU + running max (and argmax, for the VJP) into VMEM
+accumulators — only [B, F] ever returns to HBM.
 
-Cross-tile windows are handled with a VMEM halo carry (the last W-1
-time rows of the previous tile) instead of overlapping DMA slices,
-which Mosaic cannot express for sub-128-lane feature dims.
+Layout is the crux (measured on v5e): blocks with E=64 on the lane
+dimension DMA at ~110 GB/s (sub-128-lane rows stride badly), while the
+same bytes as [B, T/2, 2E=128] stream at full HBM rate (~980 GB/s). So
+for 2E == 128 the kernel consumes x in the *paired* layout — a free
+bitwise reshape of the row-major [B, T, E] array — and decomposes the
+conv over even/odd window starts: window start t = 2r+phase reads tap w
+from pair-row r + (phase+w)//2, lane half (phase+w)%2. Both phases and
+both row-shifts collapse into ONE [bt*tp, 2*2E] x [2*2E, 2*F] MXU
+matmul against a scattered kernel matrix G built once outside
+(`_build_g`), with the row-(r+1) taps staged into a VMEM scratch by a
+sublane-shifted store. `dot_dtype=bfloat16` runs that matmul at the
+native MXU rate with f32 accumulation.
+
+Cross-tile windows are handled with a VMEM halo carry (the last
+pair-row of the previous tile) instead of overlapping DMA slices, which
+Mosaic cannot express at this granularity. A generic (any E, any W)
+un-paired fallback keeps the op universal.
 
 Backward (custom VJP): the forward emits the winning time index per
 (b, f); the backward gathers the winning taps and reuses two standard
@@ -32,14 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, k_ref, b_ref, out_ref, idx_ref,
-            carry_ref, acc_ref, iacc_ref, *,
-            window: int, t_tile: int, t_out: int):
+            carry_ref, win_ref, acc_ref, iacc_ref, *,
+            window: int, t_tile: int, t_out: int, dot_dtype):
     """Grid: (batch_tiles, time_tiles), time minor. Each step consumes a
     non-overlapping [bt, t_tile, E] block; an 8-row sublane-aligned VMEM
     carry supplies the (W-1)-row halo from the previous block (Mosaic
     cannot store sub-8-row slices, so the carry keeps the block's last 8
     rows and the read slices the needed tail at value level). Window
-    start s in block c covers output position t = c*t_tile + s - halo."""
+    start s in block c covers output position t = c*t_tile + s - halo.
+
+    The W taps are concatenated in VMEM into one [bt*tt, W*E] operand so
+    the conv is a single K=W*E matmul (full MXU depth; the K=E-per-tap
+    form leaves 2/3 of the systolic array idle at E=64). `dot_dtype`
+    bf16 halves the operand bytes and engages the native MXU path; the
+    accumulator stays f32 either way."""
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
     halo = window - 1
@@ -59,13 +78,17 @@ def _kernel(x_ref, k_ref, b_ref, out_ref, idx_ref,
     z = jnp.concatenate([carry_ref[:][:, cr - halo:, :], x], axis=1)
     carry_ref[:] = x[:, tt - cr:, :]
 
-    y = jnp.zeros((bt * tt, f), jnp.float32)
+    # Stage the W shifted taps into a scratch buffer (stores relayout
+    # the sublane-offset slices; Mosaic cannot concat them directly),
+    # giving one [bt*tt, W*E] operand for a single full-depth matmul.
     for w in range(window):
-        xw = z[:, w:w + tt, :].reshape(bt * tt, e)
-        y = y + jax.lax.dot_general(
-            xw, k_ref[pl.ds(w * e, e), :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        win_ref[:, :, w * e:(w + 1) * e] = \
+            z[:, w:w + tt, :].astype(dot_dtype)
+    y = jax.lax.dot_general(
+        win_ref[:].reshape(bt * tt, window * e),
+        k_ref[:].astype(dot_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     y = jnp.maximum(y + b_ref[:], 0.0).reshape(bt, tt, f)
 
     # Window start s in this tile covers output position
@@ -90,14 +113,162 @@ def _kernel(x_ref, k_ref, b_ref, out_ref, idx_ref,
         idx_ref[:] = iacc_ref[:]
 
 
+def _build_g(kernel: jnp.ndarray, window: int, e: int,
+             f_pad: int) -> jnp.ndarray:
+    """Scattered conv matrix for the paired layout: G[d*128 + 64*h + j,
+    phase*f_pad + o] = kernel[w*e + j, o] with w = 2d + h - phase, so
+    z_pairs @ G computes every (phase, row-shift d) tap contribution in
+    one contraction. Zero blocks (invalid w) waste ~1/4 of the matmul —
+    cheaper than the relayout shuffles they replace."""
+    f = kernel.shape[1]
+    g = jnp.zeros((2, 2 * e, 2, f_pad), kernel.dtype)
+    for d in (0, 1):
+        for h in (0, 1):
+            for phase in (0, 1):
+                w = 2 * d + h - phase
+                if 0 <= w < window:
+                    g = g.at[d, e * h:e * (h + 1), phase, :f].set(
+                        kernel[w * e:(w + 1) * e, :])
+    return g.reshape(4 * e, 2 * f_pad)
+
+
+def _paired_kernel(x_ref, g_ref, b_ref, out_ref, idx_ref,
+                   carry_ref, zw_ref, acc_ref, iacc_ref, *,
+                   t_out: int, tp: int, dot_dtype):
+    """Grid: (batch_tiles, pair_chunks), pairs minor. Each step consumes
+    a [bt, tp, 128] block of pair-rows; window starts covered are
+    t = 2*(c*tp - 1 + j) + phase for j in [0, tp) (the -1 is the carry
+    row from the previous block)."""
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+    neg = jnp.float32(-3.0e38)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:] = jnp.full_like(acc_ref, neg)
+        iacc_ref[:] = jnp.zeros_like(iacc_ref)
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    x = x_ref[:]                                  # [bt, tp, 128]
+    bt = x.shape[0]
+    lanes = x.shape[2]
+    f2 = g_ref.shape[1]
+    f_pad = f2 // 2
+    cr = carry_ref.shape[1]
+
+    z = jnp.concatenate([carry_ref[:][:, cr - 1:, :], x], axis=1)
+    carry_ref[:] = x[:, tp - cr:, :]
+
+    # stage [row r | row r+1] into one K=2*lanes operand (x, g and the
+    # scratch are already dot_dtype — the cast happens in HBM outside
+    # the kernel, halving DMA bytes for bf16; an in-kernel astype would
+    # be elided by excess-precision folding)
+    zw_ref[:, :, :lanes] = z[:, :tp, :]
+    zw_ref[:, :, lanes:] = z[:, 1:tp + 1, :]
+    y = jax.lax.dot_general(
+        zw_ref[:].reshape(bt * tp, 2 * lanes), g_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(bt, tp, f2)
+
+    for phase in (0, 1):
+        yp = jnp.maximum(
+            y[:, :, phase * f_pad:(phase + 1) * f_pad] + b_ref[:], 0.0)
+        tpos = (2 * (c * tp - 1) + phase
+                + 2 * jax.lax.broadcasted_iota(jnp.int32, (bt, tp, 1), 1))
+        yp = jnp.where((tpos >= 0) & (tpos < t_out), yp, neg)
+        tile_max = jnp.max(yp, axis=1)
+        pos = jnp.where(yp == tile_max[:, None, :], tpos,
+                        jnp.int32(1 << 30))
+        tile_arg = jnp.min(pos, axis=1)
+        better = tile_max > acc_ref[:]
+        iacc_ref[:] = jnp.where(better, tile_arg, iacc_ref[:])
+        acc_ref[:] = jnp.where(better, tile_max, acc_ref[:])
+
+    @pl.when(c == n_c - 1)
+    def _emit():
+        out_ref[:] = acc_ref[:]
+        idx_ref[:] = iacc_ref[:]
+
+
+def _forward_paired(x: jnp.ndarray, kernel: jnp.ndarray,
+                    bias: jnp.ndarray, window: int, interpret: bool,
+                    dot_dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b, t, e = x.shape
+    f = kernel.shape[1]
+    halo = window - 1
+    t_out = t + halo
+    f_pad = max(-(-f // 128) * 128, 128)
+    b_tile = min(b, 32)
+    tp = 128                           # pair rows/chunk = 256 timesteps
+    carry_rows = 8
+
+    bt_pad = -(-b // b_tile) * b_tile
+    # chunk c covers starts [2(c*tp - 1), 2((c+1)*tp - 1)); chunk 0's
+    # first two (negative) starts are masked, so cover t_out + 2
+    n_chunks = -(-(t_out + 2) // (2 * tp))
+    l_pad = 2 * n_chunks * tp          # total padded timesteps
+    xp = jnp.pad(x, ((0, bt_pad - b), (halo, l_pad - t - halo), (0, 0)))
+    xp = xp.reshape(bt_pad, n_chunks * tp, 2 * e).astype(dot_dtype)
+    g = _build_g(kernel, window, e, f_pad).astype(dot_dtype)
+    bp = jnp.pad(bias.reshape(1, f), ((0, 0), (0, f_pad - f)))
+
+    out, idx = pl.pallas_call(
+        functools.partial(_paired_kernel, t_out=t_out, tp=tp,
+                          dot_dtype=dot_dtype),
+        grid=(bt_pad // b_tile, n_chunks),
+        in_specs=[
+            pl.BlockSpec((b_tile, tp, 2 * e), lambda i, c: (i, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * e, 2 * f_pad), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_pad), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_tile, f_pad), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, f_pad), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bt_pad, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, f_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, carry_rows, 2 * e), dot_dtype),
+            pltpu.VMEM((b_tile, tp, 4 * e), dot_dtype),   # staged taps
+            pltpu.VMEM((b_tile, f_pad), jnp.float32),     # max acc
+            pltpu.VMEM((b_tile, f_pad), jnp.int32),       # argmax acc
+        ],
+        interpret=interpret,
+    )(xp, g, bp)
+    return out[:b, :f], idx[:b, :f]
+
+
 def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-             window: int, interpret: bool) -> Tuple[jnp.ndarray,
-                                                    jnp.ndarray]:
+             window: int, interpret: bool,
+             dot_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    # paired fast path: 2E == one 128-lane tile and the window spans at
+    # most two pair rows (W <= 3, the reference geometry)
+    if 2 * x.shape[2] == 128 and window <= 3:
+        return _forward_paired(x, kernel, bias, window, interpret,
+                               dot_dtype)
+    return _forward_generic(x, kernel, bias, window, interpret,
+                            dot_dtype)
+
+
+def _forward_generic(x: jnp.ndarray, kernel: jnp.ndarray,
+                     bias: jnp.ndarray, window: int, interpret: bool,
+                     dot_dtype=jnp.float32) -> Tuple[jnp.ndarray,
+                                                     jnp.ndarray]:
     b, t, e = x.shape
     f = kernel.shape[1]
     halo = window - 1
     t_out = t + halo                  # torch pads (W-1) on both sides
-    b_tile = min(b, 64)
+    # F=100 leaves 28 MXU lanes idle; pad the (tiny) kernel/bias to the
+    # 128-lane boundary once and slice the padded columns off the output
+    f_pad = max(-(-f // 128) * 128, 128)
+    b_tile = min(b, 32)
     t_tile = 128
     carry_rows = -(-halo // 8) * 8    # sublane-aligned carry depth
 
@@ -108,59 +279,215 @@ def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     xp = jnp.pad(x, ((0, bt_pad - b),
                      (halo, n_chunks * t_tile - t - halo),
                      (0, 0)))
+    kp = jnp.pad(kernel, ((0, 0), (0, f_pad - f)))
+    bp = jnp.pad(bias.reshape(1, f), ((0, 0), (0, f_pad - f)))
 
     out, idx = pl.pallas_call(
         functools.partial(_kernel, window=window, t_tile=t_tile,
-                          t_out=t_out),
+                          t_out=t_out, dot_dtype=dot_dtype),
         grid=(bt_pad // b_tile, n_chunks),
         in_specs=[
             pl.BlockSpec((b_tile, t_tile, e), lambda i, c: (i, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((window * e, f), lambda i, c: (0, 0),
+            pl.BlockSpec((window * e, f_pad), lambda i, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i, c: (0, 0),
+            pl.BlockSpec((1, f_pad), lambda i, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b_tile, f), lambda i, c: (i, 0),
+            pl.BlockSpec((b_tile, f_pad), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_tile, f), lambda i, c: (i, 0),
+            pl.BlockSpec((b_tile, f_pad), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bt_pad, f), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, f), jnp.int32),
+            jax.ShapeDtypeStruct((bt_pad, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, f_pad), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((b_tile, carry_rows, e), jnp.float32),  # halo carry
-            pltpu.VMEM((b_tile, f), jnp.float32),              # max acc
-            pltpu.VMEM((b_tile, f), jnp.int32),                # argmax acc
+            pltpu.VMEM((b_tile, t_tile, window * e), dot_dtype),  # taps
+            pltpu.VMEM((b_tile, f_pad), jnp.float32),          # max acc
+            pltpu.VMEM((b_tile, f_pad), jnp.int32),            # argmax acc
         ],
         interpret=interpret,
-    )(xp, kernel, bias.reshape(1, f))
-    return out[:b], idx[:b]
+    )(xp, kp, bp)
+    return out[:b, :f], idx[:b, :f]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _paired_bwd_kernel(x_ref, g_ref, i_ref, gmat_ref, dx_ref, dg_ref,
+                       carry_ref, zw_ref, gm_ref, spill_ref, dgacc_ref,
+                       *, tp: int, dot_dtype):
+    """Backward over the same (batch_tiles, pair_chunks) grid. The
+    winner mask is reconstructed from positions alone (tpos == idx —
+    nothing from the forward conv is recomputed); per tile one matmul
+    accumulates dG = taps^T @ gmask and one computes the tap gradients
+    dzw = gmask @ G^T, whose row-(r+1) half spills into the next chunk
+    through a carry (the grid is sequential, pairs minor)."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_i = pl.num_programs(0)
+    n_c = pl.num_programs(1)
+
+    @pl.when(jnp.logical_and(i == 0, c == 0))
+    def _init_dg():
+        dgacc_ref[:] = jnp.zeros_like(dgacc_ref)
+
+    @pl.when(c == 0)
+    def _init_row():
+        spill_ref[:] = jnp.zeros_like(spill_ref)
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    x = x_ref[:]                                   # [bt, tp, 2e]
+    bt, _, lanes = x.shape
+    f_pad = g_ref.shape[1]
+    cr = carry_ref.shape[1]
+
+    # staged taps, identical to the forward
+    z = jnp.concatenate([carry_ref[:][:, cr - 1:, :], x], axis=1)
+    carry_ref[:] = x[:, tp - cr:, :]
+    zw_ref[:, :, :lanes] = z[:, :tp, :]
+    zw_ref[:, :, lanes:] = z[:, 1:tp + 1, :]
+
+    # winner mask per phase: route g[b, f] to the single window start
+    # the forward recorded
+    gv = g_ref[:]                                  # [bt, f_pad] f32
+    iv = i_ref[:]                                  # [bt, f_pad] int32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bt, tp, 1), 1)
+    pos_e = 2 * (c * tp - 1 + rows)                # even-phase starts
+    gm_ref[:, :, :f_pad] = jnp.where(
+        pos_e == iv[:, None, :], gv[:, None, :], 0.0).astype(dot_dtype)
+    gm_ref[:, :, f_pad:] = jnp.where(
+        pos_e + 1 == iv[:, None, :], gv[:, None, :], 0.0).astype(dot_dtype)
+    gmask = gm_ref[:].reshape(bt * tp, 2 * f_pad)
+
+    # dG += taps^T @ gmask : [4e, 2f]
+    dgacc_ref[:] = dgacc_ref[:] + jax.lax.dot_general(
+        zw_ref[:].reshape(bt * tp, 2 * lanes), gmask,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # tap gradients back onto pair rows: gmask @ G^T -> [bt*tp, 4e];
+    # lanes [0, 2e) land on row r, lanes [2e, 4e) on row r+1
+    dzw = jax.lax.dot_general(
+        gmask, gmat_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(bt, tp, 2 * lanes)
+    prev = spill_ref[:][:, cr - 1:, :]             # last row's spill
+    shifted = jnp.concatenate([prev, dzw[:, :tp - 1, lanes:]], axis=1)
+    dx_ref[:] = dzw[:, :, :lanes] + shifted
+    spill_ref[:] = dzw[:, tp - cr:, lanes:]
+
+    @pl.when(jnp.logical_and(i == n_i - 1, c == n_c - 1))
+    def _emit():
+        dg_ref[:] = dgacc_ref[:]
+
+
+def _backward_paired(x, kernel, g, idx, window, interpret, dot_dtype):
+    """Paired-layout backward driver: (dx, dkernel) from the gated
+    output cotangent g and the winning window starts idx."""
+    b, t, e = x.shape
+    f = kernel.shape[1]
+    halo = window - 1
+    t_out = t + halo
+    f_pad = max(-(-f // 128) * 128, 128)
+    b_tile = min(b, 32)
+    tp = 64
+    carry_rows = 8
+
+    bt_pad = -(-b // b_tile) * b_tile
+    n_chunks = -(-(t_out + 2) // (2 * tp))
+    l_pad = 2 * n_chunks * tp
+    xp = jnp.pad(x, ((0, bt_pad - b), (halo, l_pad - t - halo), (0, 0)))
+    xp = xp.reshape(bt_pad, n_chunks * tp, 2 * e).astype(dot_dtype)
+    gmat = _build_g(kernel, window, e, f_pad).astype(dot_dtype)
+    gp = jnp.pad(g, ((0, bt_pad - b), (0, f_pad - f)))
+    # pad idx with -1: no position matches (their g is 0 anyway)
+    ip = jnp.pad(idx, ((0, bt_pad - b), (0, f_pad - f)),
+                 constant_values=-1)
+
+    dxp, dg = pl.pallas_call(
+        functools.partial(_paired_bwd_kernel, tp=tp, dot_dtype=dot_dtype),
+        grid=(bt_pad // b_tile, n_chunks),
+        in_specs=[
+            pl.BlockSpec((b_tile, tp, 2 * e), lambda i, c: (i, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, f_pad), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, f_pad), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * e, 2 * f_pad), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_tile, tp, 2 * e), lambda i, c: (i, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * e, 2 * f_pad), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bt_pad, n_chunks * tp, 2 * e),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((4 * e, 2 * f_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, carry_rows, 2 * e), dot_dtype),
+            pltpu.VMEM((b_tile, tp, 4 * e), dot_dtype),      # taps
+            pltpu.VMEM((b_tile, tp, 2 * f_pad), dot_dtype),  # gmask
+            pltpu.VMEM((b_tile, carry_rows, 2 * e), jnp.float32),
+            pltpu.VMEM((4 * e, 2 * f_pad), jnp.float32),     # dG acc
+        ],
+        interpret=interpret,
+    )(xp, gp, ip, gmat)
+
+    # the kernel writes block c as the pair rows [c*tp - 1, (c+1)*tp - 1)
+    # (the d=0 tap half of tile row r belongs to global pair row
+    # r0 - 1 + r), i.e. the whole array is one pair row early: global
+    # timestep u lives at flat position u + 2. The dropped final row is
+    # always padding (l_pad >= t + halo + 2).
+    dx = dxp.reshape(bt_pad, l_pad, e)[:b, halo + 2:halo + 2 + t, :]
+    # invert the _build_g scatter: sum every (d, h, phase) block that
+    # carried tap w
+    dg4 = dg.reshape(2, 2, e, 2, f_pad)
+    dkernel = jnp.zeros((window * e, f), dg.dtype)
+    for d in (0, 1):
+        for h in (0, 1):
+            for phase in (0, 1):
+                w = 2 * d + h - phase
+                if 0 <= w < window:
+                    dkernel = dkernel.at[w * e:(w + 1) * e, :].add(
+                        dg4[d, h, :, phase, :f])
+    return dx, dkernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def textcnn_pool(x, kernel, bias, window: int = 3,
-                 interpret: bool = False):
+                 interpret: bool = False, dot_dtype=jnp.float32):
     """max_t relu(conv1d_(W-1)pad(x) @ kernel + bias): [B,T,E] -> [B,F].
-    kernel: [W*E, F] (tap-major rows)."""
-    out, _ = _forward(x, kernel, bias, window, interpret)
+    kernel: [W*E, F] (tap-major rows). `dot_dtype=bf16` runs the conv
+    matmul in bf16 (f32 accumulation) for the native MXU path."""
+    out, _ = _forward(x, kernel, bias, window, interpret, dot_dtype)
     return out
 
 
-def _fwd(x, kernel, bias, window, interpret):
-    out, idx = _forward(x, kernel, bias, window, interpret)
+def _fwd(x, kernel, bias, window, interpret, dot_dtype):
+    out, idx = _forward(x, kernel, bias, window, interpret, dot_dtype)
     return out, (x, kernel, out, idx)
 
 
-def _bwd(window, interpret, res, g):
+def _bwd(window, interpret, dot_dtype, res, g):
     x, kernel, out, idx = res
     b, t, e = x.shape
     f = kernel.shape[1]
     # ReLU gate: a clamped-to-zero max contributes no gradient
     g = jnp.where(out > 0, g, 0.0)
+
+    if 2 * e == 128 and window <= 3:
+        # paired Pallas backward (XLA's gather/scatter lowering of the
+        # index form is pathologically slow on TPU)
+        dx, dkernel = _backward_paired(x, kernel, g, idx, window,
+                                       interpret, dot_dtype)
+        return dx, dkernel, jnp.sum(g, axis=0)
 
     # winning windows: for (b, f) the taps are xp[b, idx+w], w < W,
     # where xp carries the same (W-1)-left padding as the forward

@@ -18,10 +18,14 @@ def reference_conv_pool(x, kernel, bias, window=3):
     return jnp.max(y, axis=1)
 
 
-@pytest.mark.parametrize("shape", [(4, 37, 8), (2, 130, 16), (3, 260, 8)])
+# E=64 exercises the paired fast path (2E == one lane tile), the other
+# shapes the generic fallback
+@pytest.mark.parametrize("shape", [(4, 37, 8), (2, 130, 16), (3, 260, 8),
+                                   (2, 100, 64), (3, 257, 64),
+                                   (5, 1000, 64)])
 def test_forward_parity(shape):
     b, t, e = shape
-    f = 16
+    f = 16 if e < 64 else 100
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(b, t, e)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(3 * e, f)), jnp.float32)
@@ -32,8 +36,9 @@ def test_forward_parity(shape):
     assert np.allclose(np.asarray(got), np.asarray(expect), atol=1e-4)
 
 
-def test_gradients_match_reference():
-    b, t, e, f = 2, 50, 8, 8
+@pytest.mark.parametrize("shape", [(2, 50, 8, 8), (2, 150, 64, 100)])
+def test_gradients_match_reference(shape):
+    b, t, e, f = shape
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(b, t, e)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(3 * e, f)), jnp.float32)
