@@ -47,6 +47,15 @@ class HyperParams:
     dropout: float = 0.6
     model_type: str = "bias_only"
 
+    # ---- data path ----
+    # Out-of-core record store (the reference's chunked/memoised HDF5
+    # fast loader, data_fast.py:24-119): materialized doc tensors are
+    # written chunk-by-chunk to .npy files under data_dir()/records and
+    # memory-mapped, so training never holds a full split's [N, 1000]
+    # tensors in RAM; the OS page cache plays the memoiser role.
+    out_of_core: bool = False
+    materialize_chunk_rows: int = 8192
+
     # ---- training objective ----
     # RAW_MSE trains pointwise on ratings (the reviews4rec runner's
     # fixed objective). CE / BPR / HINGE train on sampled candidate

@@ -306,8 +306,12 @@ class ReviewDataset:
     # ------------------------------------------------------------------
     def materialize(self, hp, split: str) -> Dict[str, np.ndarray]:
         """Fixed-shape record tensors for one split under one model
-        layout (cached). Review families add doc + neighbor tensors."""
+        layout (cached). Review families add doc + neighbor tensors.
+        With `hp.out_of_core` the tensors are built chunk-by-chunk into
+        memory-mapped .npy files instead of host RAM."""
         with_text = hp.family == "review"
+        if getattr(hp, "out_of_core", False) and with_text:
+            return self.materialize_to_disk(hp, split)
         key = (split, _doc_layout(hp) if with_text else "id",
                hp.user_pad_id if with_text else 0)
         if key in self._cache:
@@ -322,6 +326,71 @@ class ReviewDataset:
                                            this_rev))
         self._cache[key] = recs
         return recs
+
+    def materialize_to_disk(self, hp, split: str,
+                            root: Optional[str] = None
+                            ) -> Dict[str, np.ndarray]:
+        """Out-of-core analogue of `materialize` (reference fast loader
+        + quick-data persistence, data_fast.py:24-119 /
+        make_quick_data.py:21-44): doc/neighbor tensors are assembled
+        `hp.materialize_chunk_rows` examples at a time directly into
+        .npy files and returned memory-mapped (read-only). Peak host RAM
+        is one chunk, not the split; re-opening an existing store is
+        instant. Byte-identical to the in-RAM records (tested)."""
+        import json
+
+        rows, words = _doc_layout(hp)
+        root = root or os.path.join(hp.data_dir(), "records")
+        tag = f"{split}_{rows}x{words}_p{hp.user_pad_id}"
+        d = os.path.join(root, tag)
+        manifest = os.path.join(d, "manifest.json")
+
+        def open_store() -> Dict[str, np.ndarray]:
+            with open(manifest) as fh:
+                names = json.load(fh)["arrays"]
+            return {k: np.load(os.path.join(d, k + ".npy"), mmap_mode="r")
+                    for k in names}
+
+        if os.path.exists(manifest):
+            return open_store()
+
+        os.makedirs(d, exist_ok=True)
+        sp = self.splits[split]
+        n = len(sp)
+        user, item, ui_idx, iu_idx, this_rev = self._examples(split)
+        doc3 = rows > 1
+        doc_shape = (n, rows, words) if doc3 else (n, words)
+        spec = {
+            "user": ((n,), np.int32), "item": ((n,), np.int32),
+            "rating": ((n,), np.float32),
+            "user_doc": (doc_shape, np.int32),
+            "item_doc": (doc_shape, np.int32),
+            "this_doc": (doc_shape, np.int32),
+            "users_who_gave": ((n, NEIGHBOR_SLOTS), np.int32),
+            "items_reviewed": ((n, NEIGHBOR_SLOTS), np.int32),
+        }
+        mm = {k: np.lib.format.open_memmap(
+                  os.path.join(d, k + ".npy"), mode="w+", dtype=dt,
+                  shape=shape)
+              for k, (shape, dt) in spec.items()}
+        mm["user"][:] = user
+        mm["item"][:] = item
+        mm["rating"][:] = sp.rating.astype(np.float32)
+        chunk = max(1, int(hp.materialize_chunk_rows))
+        for start in range(0, n, chunk):
+            sl = slice(start, min(start + chunk, n))
+            out = self._text_records(hp, user[sl], item[sl], ui_idx[sl],
+                                     iu_idx[sl], this_rev[sl])
+            for k, v in out.items():
+                mm[k][sl] = v
+        for v in mm.values():
+            v.flush()
+        del mm
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"arrays": sorted(spec)}, fh)
+        os.replace(tmp, manifest)  # store is valid only once complete
+        return open_store()
 
     def materialize_negs(self, hp) -> Dict[str, np.ndarray]:
         """Candidate-grid records for ranking eval: [M, C] ids (positive
