@@ -359,12 +359,49 @@ class HFTTrainer:
         return [list(np.argsort(-tw[:, t])[:k]) for t in range(tw.shape[1])]
 
 
+def save_artifacts(trainer: "HFTTrainer", hp: HyperParams, hr1: float,
+                   ucm: Dict, icm: Dict) -> str:
+    """Research-output files the C++ binary writes at best-validation
+    (language.cpp:529-654), keyed by run_tag under log_dir:
+
+    - <tag>_saved_metrics.txt: train/valid/test MSE + HR@1, one per
+      line (calculateHR, language.cpp:552-561)
+    - <tag>_{user,item}_count_mse_map.txt: `count e1 e2 ... eN` per
+      line (countVsMSE, language.cpp:597-620)
+    - <tag>_HFT_{train,test,val}_results: `prediction value` per line
+      (savePredictions, language.cpp:624-654)
+    """
+    import os
+
+    os.makedirs(hp.log_dir, exist_ok=True)
+    tag = os.path.join(hp.log_dir, hp.run_tag())
+    errs = trainer.best_errors
+    with open(tag + "_saved_metrics.txt", "w") as f:
+        for v in (errs["train"], errs["val"], errs["test"], hr1):
+            f.write(f"{v}\n")
+    for name, cmap in (("user", ucm), ("item", icm)):
+        with open(f"{tag}_{name}_count_mse_map.txt", "w") as f:
+            for count in sorted(cmap):
+                errs_s = " ".join(str(e) for e in cmap[count])
+                f.write(f"{count} {errs_s} \n")
+    for split in ("train", "test", "val"):
+        u, i, r = trainer.data.eval_sets[split]
+        preds = np.asarray(_predict(trainer.params, u, i))
+        vals = np.asarray(r)
+        with open(f"{tag}_HFT_{split}_results", "w") as f:
+            for p, v in zip(preds, vals):
+                f.write(f"{p} {v}\n")
+    return tag
+
+
 def run_hft(hp: HyperParams, dataset: ReviewDataset, quiet: bool = True):
     verbose = (lambda *_: None) if quiet else print
     trainer = HFTTrainer(hp, dataset, verbose=verbose).fit()
+    hr1 = round(trainer.ranking(trainer.params), 2)
     metrics = {
         "MSE": round(trainer.best_errors["test"], 4),
-        "HR@1": round(trainer.ranking(trainer.params), 2),
+        "HR@1": hr1,
     }
     ucm, icm = trainer.count_maps(trainer.params)
+    save_artifacts(trainer, hp, hr1, ucm, icm)
     return metrics, ucm, icm

@@ -148,3 +148,32 @@ def test_run_hft_api(dataset, hp_base):
     m, ucm, icm = run_hft(hp, dataset)
     assert "MSE" in m and "HR@1" in m
     assert sum(len(v) for v in ucm.values()) == len(dataset.splits["test"])
+
+
+def test_hft_artifacts(tmp_path, dataset, hp_base):
+    """run_hft writes the C++ binary's research-output files
+    (saved_metrics / count maps / per-split predictions,
+    language.cpp:529-654), keyed by run_tag."""
+    hp = dataset.apply_to(hp_base.replace(
+        model_type="HFT", latent_size=4, hft_em_iters=2, hft_grad_iters=5,
+        log_dir=str(tmp_path)))
+    m, ucm, icm = run_hft(hp, dataset)
+    import os
+    tag = os.path.join(str(tmp_path), hp.run_tag())
+
+    lines = open(tag + "_saved_metrics.txt").read().splitlines()
+    assert len(lines) == 4
+    assert abs(float(lines[2]) - m["MSE"]) < 1e-3   # test MSE
+    assert abs(float(lines[3]) - m["HR@1"]) < 1e-6  # HR@1
+
+    umap = open(tag + "_user_count_mse_map.txt").read().splitlines()
+    assert len(umap) == len(ucm)
+    first = umap[0].split()
+    assert int(first[0]) in ucm
+    assert len(first) - 1 == len(ucm[int(first[0])])
+
+    for split in ("train", "test", "val"):
+        rows = open(tag + f"_HFT_{split}_results").read().splitlines()
+        assert len(rows) == len(dataset.splits[split])
+        p, v = rows[0].split()
+        float(p), float(v)
