@@ -1,12 +1,20 @@
-"""Benchmark: steady-state training throughput of the flagship model.
+"""Benchmark suite: steady-state training throughput across the model
+zoo, Pallas-vs-XLA A/B for the flagship, batch-size sweep, and an MFU
+estimate.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": R}
+Prints a human-readable table to STDERR and ONE JSON line to STDOUT:
+  {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": R, ...}
+
+Timing methodology (matters on this tunneled TPU): `block_until_ready`
+through the axon tunnel returns without waiting, so every measurement
+here synchronizes by FETCHING a scalar that depends on the timed
+computation. Warmup also fetches, so remote compiles land outside the
+timed region.
 
 `vs_baseline` is the speedup over a faithful torch (CPU) implementation
-of the same model/batch running on this host — the reference's own
-stack is torch-based and publishes no numbers (BASELINE.md), so the
-measured torch throughput is the baseline anchor.
+of the flagship on this host — the reference's own stack is torch-based
+and publishes no numbers (BASELINE.md), so the measured torch throughput
+is the baseline anchor.
 """
 
 from __future__ import annotations
@@ -18,150 +26,251 @@ import time
 import numpy as np
 
 BATCH = 256
-STEPS = 20
+STEPS = 40
 INPUT_LEN = 1000
 LATENT = 10
 
+# v5e peak dense bf16 matmul throughput; the MFU denominator.
+PEAK_BF16_FLOPS = 197e12
 
-def bench_jax() -> float:
+
+def log(s: str) -> None:
+    print(s, file=sys.stderr, flush=True)
+
+
+def _dataset():
+    from reviews4rec_tpu.data.synthetic import make_synthetic
+    return make_synthetic(num_users=300, num_items=200, vocab=2000,
+                          interactions_per_user=(10, 20), seed=0)
+
+
+def time_sgd_model(ds, model_type: str, use_pallas: bool = False,
+                   batch: int = BATCH, steps: int = STEPS) -> float:
+    """Steady-state examples/s of the jitted train step."""
     import jax
+    import jax.numpy as jnp
 
     from reviews4rec_tpu.config import HyperParams
     from reviews4rec_tpu.data.batcher import Batcher
-    from reviews4rec_tpu.data.synthetic import make_synthetic
     from reviews4rec_tpu.models import build_model
     from reviews4rec_tpu.train.evaluate import make_apply_fn
     from reviews4rec_tpu.train.loop import (TrainState, make_optimizer,
                                             make_train_step)
-    from __graft_entry__ import FLAGSHIP
 
-    hp = HyperParams(model_type=FLAGSHIP, batch_size=BATCH,
-                     input_length=INPUT_LEN, latent_size=LATENT)
-    ds = make_synthetic(num_users=300, num_items=200, vocab=2000,
-                        interactions_per_user=(10, 20), seed=0)
+    hp = HyperParams(model_type=model_type, batch_size=batch,
+                     input_length=INPUT_LEN, latent_size=LATENT,
+                     use_pallas=use_pallas)
     hp = ds.apply_to(hp)
-    try:
-        model = build_model(hp, ds.word_vectors)
-    except (ValueError, ImportError):
-        hp = hp.replace(model_type="MF_dot")
-        model = build_model(hp, ds.word_vectors)
-
-    recs = ds.materialize(hp, "train")
-    batch = next(iter(Batcher(recs, BATCH)))
+    model = build_model(hp, ds.word_vectors)
+    b = {k: jnp.asarray(v) for k, v in
+         next(iter(Batcher(ds.materialize(hp, "train"), batch))).items()}
     rng = jax.random.PRNGKey(0)
-    params = model.init({"params": rng, "dropout": rng}, batch,
+    params = model.init({"params": rng, "dropout": rng}, b,
                         train=False)["params"]
-    optimizer = make_optimizer(hp)
-    state = TrainState(params, optimizer.init(params),
-                       np.zeros((), np.int32))
-    step = make_train_step(make_apply_fn(model), optimizer, hp.model_type)
+    opt = make_optimizer(hp)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(make_apply_fn(model), opt, hp.model_type)
 
-    # compile + warmup
-    state, _ = step(state, batch, rng)
-    jax.block_until_ready(state.params)
+    state, m = step(state, b, rng)
+    float(m["loss"])                       # compile + real execution
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, m = step(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt
+    def run(k: int) -> float:
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(k):
+            state, mm = step(state, b, jax.random.fold_in(rng, i))
+        float(mm["loss"])                  # fetch = the only real sync
+        return time.perf_counter() - t0
+
+    # slope timing: one tunnel round-trip (~23 ms) sits inside every
+    # timed window; differencing two step counts removes it
+    lo = run(max(steps // 4, 2))
+    hi = run(steps)
+    dt = (hi - lo) / (steps - max(steps // 4, 2))
+    return batch / dt
+
+
+def time_hft(ds, iters: int = 4) -> float:
+    """Train votes/s of one full HFT EM iteration (M-step L-BFGS scan +
+    Gibbs E-step + normalization)."""
+    import jax
+
+    from reviews4rec_tpu.config import HyperParams
+    from reviews4rec_tpu.models.hft import (HFTTrainer, e_step,
+                                            init_params,
+                                            normalize_word_weights)
+
+    hp = HyperParams(model_type="HFT", latent_size=8)
+    hp = ds.apply_to(hp)
+    tr = HFTTrainer(hp, ds)
+    params, background = init_params(tr.data, hp)
+    rng = jax.random.PRNGKey(0)
+    counts = e_step(params, background, tr.data.tok_word,
+                    tr.data.tok_item, hp.latent_size, rng)
+
+    def em_iter(params, background, counts, r):
+        params, energy = tr.m_step(params, counts, background)
+        counts = e_step(params, background, tr.data.tok_word,
+                        tr.data.tok_item, hp.latent_size, r)
+        params, background = normalize_word_weights(params, background)
+        return params, background, counts, energy
+
+    params, background, counts, e = em_iter(params, background, counts,
+                                            jax.random.fold_in(rng, 0))
+    float(e)
+    n_votes = tr.data.eval_sets["train"][0].shape[0]
+
+    def run(k: int) -> float:
+        nonlocal params, background, counts
+        t0 = time.perf_counter()
+        for i in range(k):
+            params, background, counts, e = em_iter(
+                params, background, counts, jax.random.fold_in(rng, i + 1))
+        float(e)
+        return time.perf_counter() - t0
+
+    lo = run(1)
+    hi = run(iters)
+    return n_votes * (iters - 1) / (hi - lo)
 
 
 def bench_torch_baseline() -> float:
     """Reference-style torch implementation of the flagship on CPU
-    (reference DeepCoNN.py / MF.py semantics), forward+backward+Adam."""
+    (reference DeepCoNN.py semantics), forward+backward+Adam."""
     import torch
     import torch.nn as nn
     import torch.nn.functional as F
 
-    from __graft_entry__ import FLAGSHIP
-
     torch.manual_seed(0)
-    n_users, n_items, vocab, emb = 302, 202, 2000, 64
-    user = torch.randint(0, n_users, (BATCH,))
-    item = torch.randint(0, n_items, (BATCH,))
+    vocab, emb = 2000, 64
     y = torch.rand(BATCH) * 4 + 1
+    udoc = torch.randint(0, vocab, (BATCH, INPUT_LEN))
+    idoc = torch.randint(0, vocab, (BATCH, INPUT_LEN))
 
-    if FLAGSHIP in ("deepconn", "deepconn++"):
-        udoc = torch.randint(0, vocab, (BATCH, INPUT_LEN))
-        idoc = torch.randint(0, vocab, (BATCH, INPUT_LEN))
+    class TorchDeepCoNN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.Embedding(vocab, emb)
+            self.emb.weight.requires_grad = False
+            self.uconv = nn.Conv2d(1, 100, (3, emb), padding=(2, 0))
+            self.iconv = nn.Conv2d(1, 100, (3, emb), padding=(2, 0))
+            self.ufc = nn.Linear(100, LATENT)
+            self.ifc = nn.Linear(100, LATENT)
+            self.V = nn.Parameter(torch.randn(2 * LATENT, 8))
+            self.lin = nn.Linear(2 * LATENT, 1)
+            self.gb = nn.Parameter(torch.tensor([4.0]))
 
-        class TorchDeepCoNN(nn.Module):
-            def __init__(self):
-                super().__init__()
-                self.emb = nn.Embedding(vocab, emb)
-                self.emb.weight.requires_grad = False
-                self.uconv = nn.Conv2d(1, 100, (3, emb), padding=(2, 0))
-                self.iconv = nn.Conv2d(1, 100, (3, emb), padding=(2, 0))
-                self.ufc = nn.Linear(100, LATENT)
-                self.ifc = nn.Linear(100, LATENT)
-                self.V = nn.Parameter(torch.randn(2 * LATENT, 8))
-                self.lin = nn.Linear(2 * LATENT, 1)
-                self.gb = nn.Parameter(torch.tensor([4.0]))
+        def tower(self, doc, conv, fc):
+            x = self.emb(doc).unsqueeze(1)
+            x = F.relu(conv(x)).squeeze(-1)
+            x = F.max_pool1d(x, x.size(2)).squeeze(-1)
+            return fc(x)
 
-            def tower(self, doc, conv, fc):
-                x = self.emb(doc).unsqueeze(1)
-                x = F.relu(conv(x)).squeeze(-1)
-                x = F.max_pool1d(x, x.size(2)).squeeze(-1)
-                return fc(x)
+        def forward(self, udoc, idoc):
+            u = self.tower(udoc, self.uconv, self.ufc)
+            i = self.tower(idoc, self.iconv, self.ifc)
+            x = torch.cat([u, i], -1)
+            inter = 0.5 * ((x @ self.V).pow(2).sum(1)
+                           - (x ** 2 @ self.V ** 2).sum(1))
+            return self.gb + inter + self.lin(x)[:, 0]
 
-            def forward(self, udoc, idoc):
-                u = self.tower(udoc, self.uconv, self.ufc)
-                i = self.tower(idoc, self.iconv, self.ifc)
-                x = torch.cat([u, i], -1)
-                inter = 0.5 * ((x @ self.V).pow(2).sum(1)
-                               - (x ** 2 @ self.V ** 2).sum(1))
-                return self.gb + inter + self.lin(x)[:, 0]
-
-        model = TorchDeepCoNN()
-        args = (udoc, idoc)
-    else:
-        class TorchMFDot(nn.Module):
-            def __init__(self):
-                super().__init__()
-                self.ue = nn.Embedding(n_users, LATENT)
-                self.ie = nn.Embedding(n_items, LATENT)
-                self.ub = nn.Parameter(torch.full((n_users,), 0.1))
-                self.ib = nn.Parameter(torch.full((n_items,), 0.1))
-                self.gb = nn.Parameter(torch.tensor([4.0]))
-
-            def forward(self, user, item):
-                return (self.ub[user] + self.ib[item] + self.gb
-                        + (self.ue(user) * self.ie(item)).sum(-1))
-
-        model = TorchMFDot()
-        args = (user, item)
-
+    model = TorchDeepCoNN()
     opt = torch.optim.Adam(model.parameters(), lr=0.002, weight_decay=1e-6)
-    # warmup
-    loss = F.mse_loss(model(*args), y)
+    loss = F.mse_loss(model(udoc, idoc), y)
     loss.backward()
     opt.step()
 
-    steps = max(3, STEPS // 4)
+    steps = 4
     t0 = time.perf_counter()
     for _ in range(steps):
         opt.zero_grad()
-        loss = F.mse_loss(model(*args), y)
+        loss = F.mse_loss(model(udoc, idoc), y)
         loss.backward()
         opt.step()
     dt = time.perf_counter() - t0
     return BATCH * steps / dt
 
 
+def flagship_mfu(eps: float) -> float:
+    """MFU estimate for deepconn: two TextCNN convs dominate. Per
+    example, fwd conv FLOPs = 2 towers * 2 * (T+W-1) * (W*E) * F; the
+    train step runs fwd + input-grad + weight-grad (~3x fwd)."""
+    t_out = INPUT_LEN + 2
+    conv = 2 * 2 * t_out * (3 * 64) * 100
+    return 3 * conv * eps / PEAK_BF16_FLOPS * 100.0
+
+
 def main():
-    jax_eps = bench_jax()
+    import jax
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    ds = _dataset()
+    log(f"backend: {backend}; batch {BATCH}; input_length {INPUT_LEN}; "
+        f"sync-by-fetch timing")
+
+    rows = {}
+    table = [("MF_dot", {}), ("NeuMF", {}), ("deepconn", {}),
+             ("NARRE", {}), ("transnet", {}), ("MPCN", {})]
+    if on_tpu:
+        table.insert(3, ("deepconn+pallas",
+                         {"model_type": "deepconn", "use_pallas": True}))
+    for name, kw in table:
+        mt = kw.get("model_type", name)
+        try:
+            eps = time_sgd_model(ds, mt, use_pallas=kw.get("use_pallas",
+                                                           False))
+            rows[name] = round(eps, 1)
+            log(f"{name:16s} {eps:12,.0f} examples/s")
+        except Exception as exc:  # keep the suite alive per-model
+            rows[name] = None
+            log(f"{name:16s} FAILED: {exc}")
+
+    try:
+        hft_eps = time_hft(ds)
+        rows["HFT"] = round(hft_eps, 1)
+        log(f"{'HFT':16s} {hft_eps:12,.0f} votes/s (full EM iteration)")
+    except Exception as exc:
+        rows["HFT"] = None
+        log(f"{'HFT':16s} FAILED: {exc}")
+
+    flag_key = "deepconn+pallas" if rows.get("deepconn+pallas") \
+        else "deepconn"
+    flagship_eps = rows.get(flag_key) or 0.0
+
+    sweep = {}
+    for bsz in (128, 256, 512):
+        try:
+            eps = time_sgd_model(ds, "deepconn", use_pallas=on_tpu,
+                                 batch=bsz, steps=20)
+            sweep[bsz] = round(eps, 1)
+            log(f"flagship sweep B={bsz:4d}: {eps:12,.0f} examples/s")
+        except Exception as exc:
+            log(f"flagship sweep B={bsz}: FAILED {exc}")
+
+    mfu = round(flagship_mfu(flagship_eps), 2)
+    log(f"flagship ({flag_key}) MFU estimate: {mfu}% of "
+        f"{PEAK_BF16_FLOPS/1e12:.0f} TFLOP/s peak "
+        f"(conv fwd+bwd FLOPs only; the op is HBM-bound by design)")
+    if rows.get("deepconn") and rows.get("deepconn+pallas"):
+        log(f"pallas speedup over XLA: "
+            f"{rows['deepconn+pallas']/rows['deepconn']:.2f}x")
+
     try:
         torch_eps = bench_torch_baseline()
-        ratio = jax_eps / torch_eps
+        ratio = flagship_eps / torch_eps
+        log(f"torch-CPU baseline: {torch_eps:,.0f} examples/s")
     except Exception:
         ratio = 1.0
+
     print(json.dumps({
         "metric": "train_examples_per_s_per_chip",
-        "value": round(jax_eps, 1),
+        "value": round(flagship_eps, 1),
         "unit": "examples/s",
         "vs_baseline": round(ratio, 2),
+        "flagship": flag_key,
+        "mfu_pct": mfu,
+        "models": rows,
+        "batch_sweep": sweep,
     }))
 
 

@@ -131,8 +131,11 @@ class HyperParams:
     # ---- TPU runtime (new; the reference is single-device) ----
     mesh_shape: Tuple[int, ...] = (1, 1)     # (data, model)
     mesh_axes: Tuple[str, ...] = ("data", "model")
-    param_dtype: str = "float32"
-    compute_dtype: str = "float32"           # bf16 for large review towers
+    # Conv/matmul operand dtype for the review towers ("float32" or
+    # "bfloat16"). On TPU, f32 matmuls already run as single-pass bf16
+    # (XLA default precision), so bf16 here changes bandwidth, not MXU
+    # numerics; the accumulator stays f32 either way.
+    compute_dtype: str = "float32"
     use_pallas: bool = False                  # A/B switch for Pallas kernels
     log_dir: str = "saved_logs"
     model_dir: str = "saved_models"

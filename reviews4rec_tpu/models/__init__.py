@@ -34,14 +34,16 @@ def build_model(hp: HyperParams, word_vectors=None):
         return NeuMF(latent_size=hp.latent_size, dropout=hp.dropout, **common)
 
     wv = None if word_vectors is None else jnp.asarray(word_vectors)
-    if hp.use_pallas and mt in ("deepconn", "deepconn++", "NARRE",
-                                "transnet", "transnet++"):
-        import jax
-        # the fused TextCNN kernel runs natively on TPU; elsewhere it
-        # runs through the Pallas interpreter (numerics-identical, slow)
-        # so `use_pallas=True` configs stay testable on CPU
-        common.update(use_pallas=True,
-                      pallas_interpret=jax.default_backend() != "tpu")
+    if mt in ("deepconn", "deepconn++", "NARRE", "transnet",
+              "transnet++"):
+        common.update(compute_dtype=jnp.dtype(hp.compute_dtype))
+        if hp.use_pallas:
+            import jax
+            # the fused TextCNN kernel runs natively on TPU; elsewhere
+            # it runs through the Pallas interpreter (numerics-identical,
+            # slow) so `use_pallas=True` configs stay testable on CPU
+            common.update(use_pallas=True,
+                          pallas_interpret=jax.default_backend() != "tpu")
     if mt in ("deepconn", "deepconn++"):
         from .deepconn import DeepCoNN
         return DeepCoNN(latent_size=hp.latent_size, dropout=hp.dropout,

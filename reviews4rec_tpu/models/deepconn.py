@@ -23,6 +23,7 @@ class DeepCoNN(nn.Module):
     use_fm: bool = True  # True = 'deepconn', False = 'deepconn++'
     use_pallas: bool = False       # fused conv+relu+maxpool kernel
     pallas_interpret: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -31,7 +32,8 @@ class DeepCoNN(nn.Module):
         idoc = batch["item_doc"].reshape(-1, batch["item_doc"].shape[-1])
 
         cnn = dict(use_pallas=self.use_pallas,
-                   pallas_interpret=self.pallas_interpret)
+                   pallas_interpret=self.pallas_interpret,
+                   compute_dtype=self.compute_dtype)
         u = jnp.take(self.word_vectors, udoc, axis=0)  # [B, L, E]
         i = jnp.take(self.word_vectors, idoc, axis=0)
         u = TextCNN(self.latent_size, self.dropout, name="user_conv",

@@ -61,6 +61,9 @@ class TextCNN(nn.Module):
     window: int = 3
     use_pallas: bool = False       # fused conv+relu+maxpool kernel
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
+    # conv operand dtype (hp.compute_dtype): bf16 halves the HBM
+    # traffic of the conv inputs; accumulation stays f32
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -83,11 +86,16 @@ class TextCNN(nn.Module):
                              dot_dtype)
         else:
             # torch Conv2d pads (window-1) on both ends -> T+w-1 outputs
-            xp = jnp.pad(x, ((0, 0), (w - 1, w - 1), (0, 0)))
+            xp = jnp.pad(x.astype(self.compute_dtype),
+                         ((0, 0), (w - 1, w - 1), (0, 0)))
             # windows [B, T+w-1, w, E] -> flat tap axis -> one big matmul
             idx = (jnp.arange(t + w - 1)[:, None] + jnp.arange(w)[None, :])
             windows = xp[:, idx, :].reshape(b, t + w - 1, w * e)
-            y = jax.nn.relu(windows @ kernel + bias)   # [B, T+w-1, F]
+            y = jax.lax.dot_general(
+                windows, kernel.astype(self.compute_dtype),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = jax.nn.relu(y + bias)                  # [B, T+w-1, F]
             y = jnp.max(y, axis=1)                     # pool over time
         y = nn.Dense(self.latent_size, kernel_init=xavier_uniform(),
                      name="fc")(y)

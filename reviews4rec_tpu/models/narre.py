@@ -26,6 +26,7 @@ class NARRE(nn.Module):
     dropout: float = 0.6
     use_pallas: bool = False       # fused conv+relu+maxpool kernel
     pallas_interpret: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
 
     def _attend(self, feats, ctx_emb, scorer, train):
         # feats: [B, R, L]; ctx_emb: [B, R, L] neighbor-id embeddings
@@ -54,7 +55,8 @@ class NARRE(nn.Module):
         # Per-review encoding: fold reviews into the batch axis
         # (NARRE.py:99-104), one TextCNN per side.
         cnn = dict(use_pallas=self.use_pallas,
-                   pallas_interpret=self.pallas_interpret)
+                   pallas_interpret=self.pallas_interpret,
+                   compute_dtype=self.compute_dtype)
         uw = jnp.take(self.word_vectors, udoc.reshape(b * r, w), axis=0)
         iw = jnp.take(self.word_vectors, idoc.reshape(b * r, w), axis=0)
         uf = TextCNN(self.latent_size, self.dropout, name="user_conv",

@@ -39,6 +39,7 @@ class TransNet(nn.Module):
     id_embed_size: int = 5  # TransNet.py:75-76
     use_pallas: bool = False       # fused conv+relu+maxpool kernel
     pallas_interpret: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -59,7 +60,8 @@ class TransNet(nn.Module):
         emb = lambda doc: jnp.take(self.word_vectors, doc, axis=0)
         drop = nn.Dropout(self.dropout, deterministic=not train)
         cnn = dict(use_pallas=self.use_pallas,
-                   pallas_interpret=self.pallas_interpret)
+                   pallas_interpret=self.pallas_interpret,
+                   compute_dtype=self.compute_dtype)
 
         # ---- source net ----
         u = TextCNN(self.latent_size, self.dropout, **cnn,
