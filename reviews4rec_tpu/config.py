@@ -105,6 +105,7 @@ class HyperParams:
     mpcn_encoder: str = "NBOW"    # NBOW | CNN
     mpcn_head: str = "FM"         # FM | DOT | MLP | MF
     mpcn_joint: str = "MPCN"      # MPCN | D_ATT
+    mpcn_projection: str = "FC"   # FC | HIGH (highway, the 'HP' variant)
 
     # ---- neighbor/surprise-equivalents (surprise library defaults) ----
     surprise_epochs: int = 20

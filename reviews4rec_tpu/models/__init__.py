@@ -64,7 +64,8 @@ def build_model(hp: HyperParams, word_vectors=None):
                     factors=hp.mpcn_factor,
                     rating_min=hp.rating_min, rating_max=hp.rating_max,
                     affinity=hp.mpcn_affinity, encoder=hp.mpcn_encoder,
-                    head=hp.mpcn_head, joint=hp.mpcn_joint, **common)
+                    head=hp.mpcn_head, joint=hp.mpcn_joint,
+                    projection=hp.mpcn_projection, **common)
     raise ValueError(
         f"{mt!r} is not an SGD model; use hft.HFTTrainer or "
         f"neighbors.fit_predict for it")

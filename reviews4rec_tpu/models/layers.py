@@ -142,6 +142,80 @@ class ScorerMLP(nn.Module):
         return x[..., 0]
 
 
+class Highway(nn.Module):
+    """Highway layer (reference `highway_layer`, tylib/lib/nn.py:128-143):
+    gate * relu(trans(x)) + (1 - gate) * x, with an extra linear carry
+    projection when the output width differs from the input's. Selected
+    in the reference by 'HP' in rnn_type (tf_models/model.py:184-188)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        trans = jax.nn.relu(nn.Dense(self.dim, kernel_init=xavier_uniform(),
+                                     name="trans")(x))
+        gate = jax.nn.sigmoid(nn.Dense(self.dim, kernel_init=xavier_uniform(),
+                                       name="gate")(x))
+        if x.shape[-1] != self.dim:
+            x = nn.Dense(self.dim, kernel_init=xavier_uniform(),
+                         name="carry")(x)
+        return gate * trans + (1.0 - gate) * x
+
+
+class LayerNorm(nn.Module):
+    """Layer normalization over the last axis (reference `normalize`,
+    tylib/lib/nn.py:334-361: moments over [-1], learned gamma/beta,
+    eps inside the sqrt)."""
+
+    epsilon: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
+        beta = self.param("beta", nn.initializers.zeros, (x.shape[-1],))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return gamma * (x - mean) * jax.lax.rsqrt(var + self.epsilon) + beta
+
+
+def positional_encoding(length: int, dim: int, zero_pad: bool = False,
+                        scale: bool = False) -> jnp.ndarray:
+    """Sinusoidal positional-encoding table [length, dim] (reference
+    `positional_encoding`, tylib/lib/nn.py:11-73): sin on even columns,
+    cos on odd, angle pos / 10000^(2i/dim); optional zeroed row 0 and
+    sqrt(dim) scaling. Static-shape: built at trace time, constant-folded
+    by XLA."""
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    i = jnp.arange(dim, dtype=jnp.float32)[None, :]
+    # the reference uses 2*i/dim with i the raw column index, so even and
+    # odd columns share (almost) the same frequency pairwise
+    angle = pos / jnp.power(10000.0, 2.0 * i / dim)
+    table = jnp.where(jnp.arange(dim) % 2 == 0, jnp.sin(angle),
+                      jnp.cos(angle))
+    if zero_pad:
+        table = table.at[0].set(0.0)
+    if scale:
+        table = table * jnp.sqrt(jnp.asarray(dim, jnp.float32))
+    return table
+
+
+class PosFFN(nn.Module):
+    """Point-wise feed-forward block with residual + layer norm
+    (reference `pos_feedforward`, tylib/lib/nn.py:363-393): two 1x1
+    convolutions — position-wise Dense on TPU, where a kernel-1 conv IS
+    a matmul — relu between, residual add, LayerNorm."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = jax.nn.relu(nn.Dense(self.hidden, kernel_init=xavier_uniform(),
+                                 name="inner")(x))
+        h = nn.Dense(x.shape[-1], kernel_init=xavier_uniform(),
+                     name="readout")(h)
+        return LayerNorm(name="ln")(x + h)
+
+
 def bias_lookup(bias_table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(bias_table, ids, axis=0)
 

@@ -42,11 +42,12 @@ import jax.numpy as jnp
 
 from .att import (CoAttention, DualAttention, gumbel_softmax,  # noqa: F401
                   hard_argmax)
-from .layers import xavier_uniform
+from .layers import Highway, xavier_uniform
 
 HEADS = ("FM", "DOT", "MLP", "MF")
 ENCODERS = ("NBOW", "CNN")
 JOINTS = ("MPCN", "D_ATT")
+PROJECTIONS = ("FC", "HIGH")
 
 
 class MPCN(nn.Module):
@@ -64,6 +65,10 @@ class MPCN(nn.Module):
     encoder: str = "NBOW"
     head: str = "FM"
     joint: str = "MPCN"
+    # translate_proj mode: 'FC' (runner default) or 'HIGH' — review-level
+    # highway projection, the reference's 'HP' rnn_type flag
+    # (model.py:184-188 -> projection_layer use_mode='HIGH')
+    projection: str = "FC"
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -73,6 +78,9 @@ class MPCN(nn.Module):
             raise ValueError(f"encoder {self.encoder!r} not in {ENCODERS}")
         if self.joint not in JOINTS:
             raise ValueError(f"joint {self.joint!r} not in {JOINTS}")
+        if self.projection not in PROJECTIONS:
+            raise ValueError(
+                f"projection {self.projection!r} not in {PROJECTIONS}")
         lead = batch["user"].shape
         dmax, smax = batch["user_doc"].shape[-2:]
         udoc = batch["user_doc"].reshape(-1, dmax, smax)
@@ -126,11 +134,16 @@ class MPCN(nn.Module):
         q1, o1 = embed_reviews(udoc)   # [B, dmax, H|E], [B, dmax, smax*E]
         q2, o2 = embed_reviews(idoc)
 
-        # translate_proj: shared relu FC -> hidden (model.py:671-695)
-        proj = nn.Dense(self.hidden, kernel_init=xavier_uniform(),
-                        name="trans_proj")
-        q1 = jax.nn.relu(proj(q1))
-        q2 = jax.nn.relu(proj(q2))
+        # translate_proj: shared projection -> hidden (model.py:671-695);
+        # FC = relu Dense, HIGH = highway (the 'HP' variant)
+        if self.projection == "HIGH":
+            proj = Highway(self.hidden, name="trans_proj_hw")
+            q1, q2 = proj(q1), proj(q2)
+        else:
+            proj = nn.Dense(self.hidden, kernel_init=xavier_uniform(),
+                            name="trans_proj")
+            q1 = jax.nn.relu(proj(q1))
+            q2 = jax.nn.relu(proj(q2))
 
         f1 = []
         f2 = []

@@ -213,3 +213,88 @@ def test_gumbel_softmax_straight_through():
         gumbel_softmax(l, jax.random.PRNGKey(0), 0.5) * jnp.array([1., 2., 3.])
     ))(logits[0])
     assert float(jnp.abs(g).sum()) > 0
+
+
+# ---------------------------------------------------------------------
+# NN library (tylib/lib/nn.py): highway, layer norm, positional
+# encoding, point-wise FFN
+# ---------------------------------------------------------------------
+
+def test_highway_gate_convexity():
+    """highway_layer (nn.py:128-143): output = g*relu(Wx) + (1-g)*x is a
+    per-unit convex combination, so with same-dim input it lies between
+    the carry and the transform elementwise."""
+    from reviews4rec_tpu.models.layers import Highway
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 6))
+    mod = Highway(6)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    out = mod.apply(params, x)
+    assert out.shape == x.shape
+    trans = jax.nn.relu(x @ params["params"]["trans"]["kernel"]
+                        + params["params"]["trans"]["bias"])
+    lo = jnp.minimum(trans, x)
+    hi = jnp.maximum(trans, x)
+    assert bool(jnp.all(out >= lo - 1e-5)) and bool(jnp.all(out <= hi + 1e-5))
+    # dim-changing carry projection exists only when widths differ
+    assert "carry" not in params["params"]
+    p2 = Highway(3).init(jax.random.PRNGKey(1), x)
+    assert "carry" in p2["params"]
+
+
+def test_layer_norm_moments():
+    """normalize (nn.py:334-361): unit-init gamma/zero beta gives
+    zero-mean unit-variance rows."""
+    from reviews4rec_tpu.models.layers import LayerNorm
+    x = jax.random.normal(jax.random.PRNGKey(0), (5, 16)) * 3.0 + 2.0
+    mod = LayerNorm()
+    params = mod.init(jax.random.PRNGKey(1), x)
+    out = np.asarray(mod.apply(params, x))
+    np.testing.assert_allclose(out.mean(-1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(out.var(-1), 1.0, atol=1e-3)
+
+
+def test_positional_encoding_matches_formula():
+    """positional_encoding (nn.py:11-73): sin on even cols, cos on odd,
+    angle pos/10000^(2i/dim); zero_pad zeroes row 0, scale multiplies by
+    sqrt(dim)."""
+    from reviews4rec_tpu.models.layers import positional_encoding
+    t = np.asarray(positional_encoding(7, 6))
+    ref = np.array([[p / np.power(10000.0, 2.0 * i / 6) for i in range(6)]
+                    for p in range(7)])
+    ref[:, 0::2] = np.sin(ref[:, 0::2])
+    ref[:, 1::2] = np.cos(ref[:, 1::2])
+    np.testing.assert_allclose(t, ref, rtol=1e-5, atol=1e-6)
+    zp = np.asarray(positional_encoding(7, 6, zero_pad=True))
+    assert (zp[0] == 0).all() and np.allclose(zp[1:], ref[1:], rtol=1e-5)
+    sc = np.asarray(positional_encoding(7, 6, scale=True))
+    np.testing.assert_allclose(sc, ref * np.sqrt(6.0), rtol=1e-5)
+
+
+def test_pos_ffn_residual_shape():
+    """pos_feedforward (nn.py:363-393): residual + layer-norm block
+    keeps the input shape; zero inner/readout weights reduce it to
+    LayerNorm(x) exactly."""
+    from reviews4rec_tpu.models.layers import LayerNorm, PosFFN
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 8))
+    mod = PosFFN(hidden=16)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    assert mod.apply(params, x).shape == x.shape
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    p["params"]["inner"]["kernel"] = jnp.zeros_like(
+        p["params"]["inner"]["kernel"])
+    p["params"]["inner"]["bias"] = jnp.zeros_like(
+        p["params"]["inner"]["bias"])
+    ln = LayerNorm()
+    lp = ln.init(jax.random.PRNGKey(2), x)
+    np.testing.assert_allclose(np.asarray(mod.apply(p, x)),
+                               np.asarray(ln.apply(lp, x)), atol=1e-6)
+
+
+def test_mpcn_highway_projection(dataset, hp_base):
+    """'HP' variant (model.py:184-188): translate_proj becomes a highway
+    layer shared across both sides."""
+    model, params, _ = _mpcn_forward(dataset, hp_base,
+                                     mpcn_projection="HIGH")
+    assert "trans_proj_hw" in params
+    with pytest.raises(ValueError):
+        _mpcn_forward(dataset, hp_base, mpcn_projection="BOGUS")
