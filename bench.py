@@ -129,9 +129,13 @@ def time_hft(ds, iters: int = 4) -> float:
         float(e)
         return time.perf_counter() - t0
 
-    lo = run(1)
-    hi = run(iters)
-    return n_votes * (iters - 1) / (hi - lo)
+    # slope timing with min-of-3 at each point: one EM iteration is tens
+    # of ms, the same order as the tunnel round-trip jitter, so a single
+    # (hi - lo) difference can go negative on noise
+    lo = min(run(1) for _ in range(3))
+    hi = min(run(iters) for _ in range(3))
+    dt = max(hi - lo, 1e-9)
+    return n_votes * (iters - 1) / dt
 
 
 def bench_torch_baseline() -> float:
@@ -233,14 +237,18 @@ def main():
         rows["HFT"] = None
         log(f"{'HFT':16s} FAILED: {exc}")
 
-    flag_key = "deepconn+pallas" if rows.get("deepconn+pallas") \
+    # flagship = the faster deepconn path, measured, not assumed
+    candidates = {k: v for k, v in rows.items()
+                  if k.startswith("deepconn") and v}
+    flag_key = max(candidates, key=candidates.get) if candidates \
         else "deepconn"
     flagship_eps = rows.get(flag_key) or 0.0
 
     sweep = {}
     for bsz in (128, 256, 512):
         try:
-            eps = time_sgd_model(ds, "deepconn", use_pallas=on_tpu,
+            eps = time_sgd_model(ds, "deepconn",
+                                 use_pallas=(flag_key == "deepconn+pallas"),
                                  batch=bsz, steps=20)
             sweep[bsz] = round(eps, 1)
             log(f"flagship sweep B={bsz:4d}: {eps:12,.0f} examples/s")

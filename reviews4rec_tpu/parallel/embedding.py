@@ -11,10 +11,19 @@ recsys analogue of expert parallelism). Two lookup paths:
    zeros) and a `psum` over the model axis combines partial rows. This
    pins the collective to one all-reduce of [batch, dim] over ICI, which
    beats GSPMD's choices once tables are large and the batch is the
-   small side; it is also the hook point for a future Pallas
-   all-to-all bucketing kernel.
+   small side.
+3. All-to-all bucketing (`sharded_lookup_a2a`): the ID-partitioned
+   exchange from SURVEY.md §2.8 — the batch is split over the model
+   axis, each shard buckets its local ids by owner shard, one
+   `all_to_all` ships the id buckets to their owners, owners gather
+   their rows locally, a second `all_to_all` ships the rows back. Per
+   ICI link this moves 2·(batch/n)·dim instead of psum's batch·dim —
+   the win grows with the axis size. Bucket capacity equals the local
+   slice length (a shard holds only batch/n ids, so no bucket can
+   overflow): shapes stay static with zero drop risk, unlike
+   MoE-style capacity-factor routing.
 
-Both paths are bitwise-identical to the single-device gather (tested in
+All paths are bitwise-identical to the single-device gather (tested in
 tests/test_parallel.py).
 """
 
@@ -54,3 +63,51 @@ def sharded_lookup(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh,
     spec_ids = P()
     return shard_map(kernel, mesh=mesh,
                      in_specs=(spec_t, spec_ids), out_specs=P())(table, ids)
+
+
+def sharded_lookup_a2a(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh,
+                       axis: str = "model") -> jnp.ndarray:
+    """ID-partitioned all-to-all lookup: rows of a [R, D] table sharded
+    P(axis, None), flat int ids sharded P(axis). Returns ids.shape + (D,)
+    with the same P(axis) sharding. len(ids) and R must divide the axis
+    size.
+
+    Per shard (m = len(ids)/n local ids): sort local ids by owner shard,
+    scatter them into an [n, m] bucket matrix (bucket d = ids owned by
+    shard d, padded with id 0 — masked on return), `all_to_all` the
+    buckets to their owners, gather owned rows, `all_to_all` back, then
+    undo the sort. Two all-to-alls of m ids / m·D floats per link replace
+    the psum path's full [batch, D] ring all-reduce."""
+    n = mesh.shape[axis]
+    rows = table.shape[0]
+    assert rows % n == 0, (rows, n)
+    assert ids.ndim == 1 and ids.shape[0] % n == 0, ids.shape
+    per = rows // n
+
+    def kernel(local_table, local_ids):
+        m = local_ids.shape[0]
+        owner = local_ids // per                       # destination shard
+        order = jnp.argsort(owner, stable=True)
+        s_ids = local_ids[order]
+        s_owner = owner[order]
+        # rank within each owner bucket: position minus the bucket start
+        start = jnp.searchsorted(s_owner, jnp.arange(n))
+        rank = jnp.arange(m) - start[s_owner]
+        send = jnp.zeros((n, m), local_ids.dtype) \
+            .at[s_owner, rank].set(s_ids)
+
+        # buckets to owners: recv[s] = the ids shard s wants from me
+        recv = jax.lax.all_to_all(send, axis, 0, 0)    # [n, m]
+        local = jnp.clip(recv - jax.lax.axis_index(axis) * per, 0,
+                         local_table.shape[0] - 1)
+        rows_out = jnp.take(local_table, local, axis=0)  # [n, m, D]
+        back = jax.lax.all_to_all(rows_out, axis, 0, 0)  # [n, m, D]
+
+        # undo: sorted id j came back at back[s_owner[j], rank[j]];
+        # bucket padding (id 0) is gathered and shipped but never read
+        got = back[s_owner, rank]                        # [m, D]
+        return jnp.zeros_like(got).at[order].set(got)
+
+    return shard_map(kernel, mesh=mesh,
+                     in_specs=(P(axis, None), P(axis)),
+                     out_specs=P(axis))(table, ids)

@@ -178,3 +178,48 @@ def test_seq_sharded_textcnn_under_jit_and_grad():
     assert g.shape == kernel.shape
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_sharded_lookup_a2a_matches_gather():
+    """ID-partitioned all-to-all exchange (SURVEY.md §2.8): bucket ids
+    by owner shard, a2a out, local gather, a2a back, unsort — must be
+    bitwise the plain gather."""
+    from reviews4rec_tpu.parallel.embedding import sharded_lookup_a2a
+    mesh = make_mesh((2, 4))
+    rows, dim, n_ids = 64, 16, 40
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(rows, dim)), jnp.float32)
+    # include duplicates and skewed owners (all shards' rows hit)
+    ids = jnp.asarray(np.concatenate([
+        rng.integers(0, rows, n_ids - 8),
+        np.array([0, 0, 63, 63, 17, 17, 5, 5])]).astype(np.int32))
+    expect = np.asarray(jnp.take(table, ids, axis=0))
+
+    table_sharded = jax.device_put(table, NamedSharding(mesh,
+                                                        P("model", None)))
+    got = sharded_lookup_a2a(table_sharded, ids, mesh)
+    assert np.array_equal(np.asarray(got), expect)
+
+
+def test_sharded_lookup_a2a_grad_flows_to_table():
+    """Training row-sharded tables through the a2a exchange: the table
+    gradient must equal the dense gather's scatter-add gradient."""
+    from reviews4rec_tpu.parallel.embedding import sharded_lookup_a2a
+    mesh = make_mesh((2, 4))
+    rows, dim = 32, 8
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(rows, dim)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, rows, 16).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(16, dim)), jnp.float32)
+
+    def loss_dense(t):
+        return jnp.sum(jnp.take(t, ids, axis=0) * w)
+
+    def loss_a2a(t):
+        return jnp.sum(sharded_lookup_a2a(t, ids, mesh) * w)
+
+    g_dense = jax.grad(loss_dense)(table)
+    table_sharded = jax.device_put(table, NamedSharding(mesh,
+                                                        P("model", None)))
+    g_a2a = jax.grad(loss_a2a)(table_sharded)
+    assert np.allclose(np.asarray(g_a2a), np.asarray(g_dense))
