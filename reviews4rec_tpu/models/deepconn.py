@@ -24,6 +24,9 @@ class DeepCoNN(nn.Module):
     use_pallas: bool = False       # fused conv+relu+maxpool kernel
     pallas_interpret: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    seq_mesh: object = None        # time-sharded TextCNN (hp.seq_parallel)
+    seq_axis: str = "model"
+    seq_batch_axis: object = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -33,7 +36,9 @@ class DeepCoNN(nn.Module):
 
         cnn = dict(use_pallas=self.use_pallas,
                    pallas_interpret=self.pallas_interpret,
-                   compute_dtype=self.compute_dtype)
+                   compute_dtype=self.compute_dtype,
+                   seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
+                   seq_batch_axis=self.seq_batch_axis)
         u = jnp.take(self.word_vectors, udoc, axis=0)  # [B, L, E]
         i = jnp.take(self.word_vectors, idoc, axis=0)
         u = TextCNN(self.latent_size, self.dropout, name="user_conv",

@@ -64,6 +64,13 @@ class TextCNN(nn.Module):
     # conv operand dtype (hp.compute_dtype): bf16 halves the HBM
     # traffic of the conv inputs; accumulation stays f32
     compute_dtype: jnp.dtype = jnp.float32
+    # sequence parallelism (hp.seq_parallel): shard the time axis over
+    # `seq_axis` of `seq_mesh` with a ppermute halo exchange
+    # (parallel/sequence.py); takes precedence over use_pallas — the two
+    # paths partition the same conv differently
+    seq_mesh: object = None
+    seq_axis: str = "model"
+    seq_batch_axis: Optional[str] = None  # DP axis of the batch dim
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -74,7 +81,11 @@ class TextCNN(nn.Module):
                             (w * e, self.num_filters))
         bias = self.param("conv_bias", nn.initializers.zeros,
                           (self.num_filters,))
-        if self.use_pallas:
+        if self.seq_mesh is not None:
+            from ..parallel.sequence import textcnn_pool_seq
+            y = textcnn_pool_seq(x, kernel, bias, w, self.seq_mesh,
+                                 self.seq_axis, self.seq_batch_axis)
+        elif self.use_pallas:
             from ..ops.textcnn_pallas import textcnn_pool
             # bf16 operand storage on real TPU: numerically identical to
             # the default-precision f32 path (XLA lowers f32 matmuls to

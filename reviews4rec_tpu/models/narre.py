@@ -27,6 +27,9 @@ class NARRE(nn.Module):
     use_pallas: bool = False       # fused conv+relu+maxpool kernel
     pallas_interpret: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    seq_mesh: object = None        # time-sharded TextCNN (hp.seq_parallel)
+    seq_axis: str = "model"
+    seq_batch_axis: object = None
 
     def _attend(self, feats, ctx_emb, scorer, train):
         # feats: [B, R, L]; ctx_emb: [B, R, L] neighbor-id embeddings
@@ -56,7 +59,9 @@ class NARRE(nn.Module):
         # (NARRE.py:99-104), one TextCNN per side.
         cnn = dict(use_pallas=self.use_pallas,
                    pallas_interpret=self.pallas_interpret,
-                   compute_dtype=self.compute_dtype)
+                   compute_dtype=self.compute_dtype,
+                   seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
+                   seq_batch_axis=self.seq_batch_axis)
         uw = jnp.take(self.word_vectors, udoc.reshape(b * r, w), axis=0)
         iw = jnp.take(self.word_vectors, idoc.reshape(b * r, w), axis=0)
         uf = TextCNN(self.latent_size, self.dropout, name="user_conv",

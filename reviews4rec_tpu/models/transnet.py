@@ -40,6 +40,9 @@ class TransNet(nn.Module):
     use_pallas: bool = False       # fused conv+relu+maxpool kernel
     pallas_interpret: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    seq_mesh: object = None        # time-sharded TextCNN (hp.seq_parallel)
+    seq_axis: str = "model"
+    seq_batch_axis: object = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -61,7 +64,9 @@ class TransNet(nn.Module):
         drop = nn.Dropout(self.dropout, deterministic=not train)
         cnn = dict(use_pallas=self.use_pallas,
                    pallas_interpret=self.pallas_interpret,
-                   compute_dtype=self.compute_dtype)
+                   compute_dtype=self.compute_dtype,
+                   seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
+                   seq_batch_axis=self.seq_batch_axis)
 
         # ---- source net ----
         u = TextCNN(self.latent_size, self.dropout, **cnn,

@@ -28,14 +28,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 def textcnn_pool_seq(x: jnp.ndarray, kernel: jnp.ndarray,
                      bias: jnp.ndarray, window: int, mesh: Mesh,
-                     axis: str = "model") -> jnp.ndarray:
+                     axis: str = "model",
+                     batch_axis: str | None = None) -> jnp.ndarray:
     """Sequence-sharded fused conv+relu+max-over-time.
 
     x:      [B, T, E] with T sharded over `axis` (T % axis size == 0)
     kernel: [window*E, F] replicated
     bias:   [F] replicated
-    Returns [B, F] replicated — identical to the single-device
-    `TextCNN` pre-FC pooled output.
+    batch_axis: mesh axis the batch dim is sharded over (None =
+        replicated) — lets SP compose with data parallelism without
+        gathering activations over the data axis
+    Returns [B, F] sharded P(batch_axis) — identical to the
+    single-device `TextCNN` pre-FC pooled output.
     """
     w = window
     n = mesh.shape[axis]
@@ -49,8 +53,8 @@ def textcnn_pool_seq(x: jnp.ndarray, kernel: jnp.ndarray,
         f"sequence over fewer devices or grow input_length")
 
     def local(xs, kern, bia):
-        # xs: [B, C, E] — this shard's chunk of the time axis
-        c = xs.shape[1]
+        # xs: [b_local, C, E] — this shard's chunk of the time axis
+        bl, c = xs.shape[0], xs.shape[1]
         if w > 1:
             fwd = [(j, j + 1) for j in range(n - 1)]
             bwd = [(j + 1, j) for j in range(n - 1)]
@@ -64,7 +68,7 @@ def textcnn_pool_seq(x: jnp.ndarray, kernel: jnp.ndarray,
         # all windows whose start lies in this shard's halo-extended
         # range: union over shards covers every padded global window
         idx = jnp.arange(c + w - 1)[:, None] + jnp.arange(w)[None, :]
-        win = ext[:, idx, :].reshape(b, c + w - 1, w * e)
+        win = ext[:, idx, :].reshape(bl, c + w - 1, w * e)
         y = jax.nn.relu(win @ kern + bia)
         y = jnp.max(y, axis=1)                  # local max-over-time
         # combine shard partials; all_gather+max instead of pmax so the
@@ -72,10 +76,11 @@ def textcnn_pool_seq(x: jnp.ndarray, kernel: jnp.ndarray,
         # is [n, B, F], tiny next to the conv
         return jnp.max(jax.lax.all_gather(y, axis), axis=0)
 
-    # check_vma=False: the output IS replicated (same all_gather+max on
-    # every shard) but the static varying-axes checker cannot infer
-    # replication through all_gather; pmax would satisfy it but has no
-    # VJP rule, and this kernel must be differentiable.
+    # check_vma=False: the output IS replicated over `axis` (same
+    # all_gather+max on every shard) but the static varying-axes checker
+    # cannot infer replication through all_gather; pmax would satisfy it
+    # but has no VJP rule, and this kernel must be differentiable.
     return shard_map(local, mesh=mesh,
-                     in_specs=(P(None, axis, None), P(), P()),
-                     out_specs=P(), check_vma=False)(x, kernel, bias)
+                     in_specs=(P(batch_axis, axis, None), P(), P()),
+                     out_specs=P(batch_axis), check_vma=False)(x, kernel,
+                                                               bias)

@@ -223,3 +223,25 @@ def test_sharded_lookup_a2a_grad_flows_to_table():
                                                         P("model", None)))
     g_a2a = jax.grad(loss_a2a)(table_sharded)
     assert np.allclose(np.asarray(g_a2a), np.asarray(g_dense))
+
+
+def test_api_run_seq_parallel_matches_default(dataset, hp_base):
+    """hp.seq_parallel=True in the PRODUCT path: every TextCNN runs the
+    halo-exchange time-sharded conv on the model axis, composed with
+    data parallelism, and reproduces the default path's metrics."""
+    from reviews4rec_tpu.api import run
+
+    hp = hp_base.replace(model_type="deepconn", epochs=1, batch_size=16,
+                         mesh_shape=(4, 2))
+    ref, _, _ = run(hp, dataset)
+    got, _, _ = run(hp.replace(seq_parallel=True), dataset)
+    assert np.isclose(got["MSE"], ref["MSE"], atol=3e-4)
+    assert got["HR@1"] == ref["HR@1"]
+
+
+def test_seq_parallel_requires_model_axis(dataset, hp_base):
+    from reviews4rec_tpu.models import build_model
+
+    hp = hp_base.replace(model_type="deepconn", seq_parallel=True)
+    with pytest.raises(ValueError):
+        build_model(hp, dataset.word_vectors, mesh=None)
