@@ -15,10 +15,26 @@ from ..config import HyperParams
 from .mf import MF, BiasOnly, GMF, MFDot, MLPModel, NeuMF, neumf_warm_start
 
 
+TEXTCNN_MODELS = ("deepconn", "deepconn++", "NARRE", "transnet",
+                  "transnet++")
+
+
 def build_model(hp: HyperParams, word_vectors=None, mesh=None):
     common = dict(num_user_rows=hp.num_user_rows,
                   num_item_rows=hp.num_item_rows)
     mt = hp.model_type
+    if hp.seq_parallel and mt not in TEXTCNN_MODELS:
+        # fail loudly instead of silently running the default path
+        raise ValueError(
+            f"seq_parallel=True shards the TextCNN time axis and is only "
+            f"supported for {TEXTCNN_MODELS}; {mt!r} has no such axis")
+    if hp.seq_parallel and hp.use_pallas:
+        import warnings
+        warnings.warn(
+            "seq_parallel and use_pallas are both set; the two paths "
+            "partition the same conv differently, seq_parallel takes "
+            "precedence and the Pallas kernel will NOT run",
+            stacklevel=2)
     if mt == "bias_only":
         return BiasOnly(**common)
     if mt == "MF_dot":
@@ -34,8 +50,7 @@ def build_model(hp: HyperParams, word_vectors=None, mesh=None):
         return NeuMF(latent_size=hp.latent_size, dropout=hp.dropout, **common)
 
     wv = None if word_vectors is None else jnp.asarray(word_vectors)
-    if mt in ("deepconn", "deepconn++", "NARRE", "transnet",
-              "transnet++"):
+    if mt in TEXTCNN_MODELS:
         common.update(compute_dtype=jnp.dtype(hp.compute_dtype))
         if hp.seq_parallel:
             # time-sharded TextCNN (halo-exchange conv); needs a real

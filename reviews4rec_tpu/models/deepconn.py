@@ -11,7 +11,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import FM, ScorerMLP, TextCNN
+from .layers import FM, ScorerMLP, TextCNN, frozen_word_table
 
 
 class DeepCoNN(nn.Module):
@@ -39,8 +39,9 @@ class DeepCoNN(nn.Module):
                    compute_dtype=self.compute_dtype,
                    seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
                    seq_batch_axis=self.seq_batch_axis)
-        u = jnp.take(self.word_vectors, udoc, axis=0)  # [B, L, E]
-        i = jnp.take(self.word_vectors, idoc, axis=0)
+        wv = frozen_word_table(self, self.word_vectors)
+        u = jnp.take(wv, udoc, axis=0)  # [B, L, E]
+        i = jnp.take(wv, idoc, axis=0)
         u = TextCNN(self.latent_size, self.dropout, name="user_conv",
                     **cnn)(u, train=train)
         i = TextCNN(self.latent_size, self.dropout, name="item_conv",

@@ -305,16 +305,16 @@ class HFTTrainer:
         return float(100.0 * jnp.mean(hit.astype(jnp.float32)))
 
     def count_maps(self, params):
+        """Count-vs-MSE maps (countVsMSE, language.cpp:564-622) via the
+        shared vectorized bucketing in train/evaluate.py."""
+        from ..train.evaluate import _count_mse_maps
+
         u, i, r = self.data.eval_sets["test"]
         err = np.asarray((_predict(params, u, i) - r) ** 2)
-        ucnt = np.asarray(self.dataset.user_count)[np.asarray(u)]
-        icnt = np.asarray(self.dataset.item_count)[np.asarray(i)]
-        ucm: Dict[int, list] = {}
-        icm: Dict[int, list] = {}
-        for c, e in zip(ucnt, err):
-            ucm.setdefault(int(c), []).append(float(e))
-        for c, e in zip(icnt, err):
-            icm.setdefault(int(c), []).append(float(e))
+        ucm = _count_mse_maps(
+            np.asarray(self.dataset.user_count)[np.asarray(u)], err)
+        icm = _count_mse_maps(
+            np.asarray(self.dataset.item_count)[np.asarray(i)], err)
         return ucm, icm
 
     def fit(self, em_iters: Optional[int] = None):

@@ -227,6 +227,20 @@ class PosFFN(nn.Module):
         return LayerNorm(name="ln")(x + h)
 
 
+def frozen_word_table(mod: nn.Module, word_vectors) -> jnp.ndarray:
+    """Frozen word2vec table declared as a module parameter named
+    `word_vectors` instead of a closed-over array: a closed-over table
+    is baked into the jaxpr as an HLO constant (12.8 MB per tower at the
+    real 50k x 64 scale), while a param is a traced jit argument —
+    shardable, donated, checkpointed. `stop_gradient` freezes it (the
+    reference's requires_grad=False, DeepCoNN.py:14-16) and
+    `train.loop.make_optimizer` masks it out of Adam state and weight
+    decay, matching torch semantics where frozen params never reach the
+    optimizer."""
+    wv = mod.param("word_vectors", lambda _rng: jnp.asarray(word_vectors))
+    return jax.lax.stop_gradient(wv)
+
+
 def bias_lookup(bias_table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(bias_table, ids, axis=0)
 

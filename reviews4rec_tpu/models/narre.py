@@ -15,7 +15,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import MLPTower, ScorerMLP, TextCNN, xavier_uniform
+from .layers import (MLPTower, ScorerMLP, TextCNN, frozen_word_table,
+                     xavier_uniform)
 
 
 class NARRE(nn.Module):
@@ -62,8 +63,9 @@ class NARRE(nn.Module):
                    compute_dtype=self.compute_dtype,
                    seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
                    seq_batch_axis=self.seq_batch_axis)
-        uw = jnp.take(self.word_vectors, udoc.reshape(b * r, w), axis=0)
-        iw = jnp.take(self.word_vectors, idoc.reshape(b * r, w), axis=0)
+        wv = frozen_word_table(self, self.word_vectors)
+        uw = jnp.take(wv, udoc.reshape(b * r, w), axis=0)
+        iw = jnp.take(wv, idoc.reshape(b * r, w), axis=0)
         uf = TextCNN(self.latent_size, self.dropout, name="user_conv",
                      **cnn)(uw, train=train).reshape(b, r, -1)
         itf = TextCNN(self.latent_size, self.dropout, name="item_conv",

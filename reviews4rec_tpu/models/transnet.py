@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import FM, TextCNN, xavier_uniform
+from .layers import FM, TextCNN, frozen_word_table, xavier_uniform
 
 
 class TransNet(nn.Module):
@@ -60,7 +60,8 @@ class TransNet(nn.Module):
             w = jnp.broadcast_to(w.reshape(w.shape + (1,) * (len(lead) - 1)),
                                  lead).reshape(-1)
 
-        emb = lambda doc: jnp.take(self.word_vectors, doc, axis=0)
+        wv = frozen_word_table(self, self.word_vectors)
+        emb = lambda doc: jnp.take(wv, doc, axis=0)
         drop = nn.Dropout(self.dropout, deterministic=not train)
         cnn = dict(use_pallas=self.use_pallas,
                    pallas_interpret=self.pallas_interpret,

@@ -69,8 +69,8 @@ def sharded_lookup_a2a(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh,
                        axis: str = "model") -> jnp.ndarray:
     """ID-partitioned all-to-all lookup: rows of a [R, D] table sharded
     P(axis, None), flat int ids sharded P(axis). Returns ids.shape + (D,)
-    with the same P(axis) sharding. len(ids) and R must divide the axis
-    size.
+    with the same P(axis) sharding. len(ids) and R must be divisible by
+    the axis size.
 
     Per shard (m = len(ids)/n local ids): sort local ids by owner shard,
     scatter them into an [n, m] bucket matrix (bucket d = ids owned by

@@ -89,27 +89,37 @@ def evaluate(eval_step, params, batcher: Batcher, hp: HyperParams,
     from ..train.loop import make_placer
 
     place = make_placer(mesh if jax.process_count() == 1 else None)
+    # Dispatch every batch without blocking, then fetch the whole
+    # split's outputs in ONE device_get: a per-batch np.asarray would
+    # sync the device every step and serialize dispatch (the same
+    # pitfall train_epoch's on-device accumulators avoid). Per-example
+    # errors are needed on host anyway for the count-MSE maps, so the
+    # single bulk fetch costs nothing extra.
+    outs, weights, users_l, items_l = [], [], [], []
+    for batch in batcher:
+        outs.append(eval_step(params, place(batch)))
+        w = batch["weight"].astype(bool)
+        weights.append(w)
+        users_l.append(batch["user"][w])
+        items_l.append(batch["item"][w])
+    outs = jax.device_get(outs)          # one blocking fetch per split
+
     total_sq, total_n = 0.0, 0.0
     right_sq, trans_sum, batches = 0.0, 0.0, 0.0
-    all_sq, all_users, all_items = [], [], []
-
-    for batch in batcher:
-        out = eval_step(params, place(batch))
-        w = batch["weight"].astype(bool)
-        sq = np.asarray(out["sq"])[w]
+    all_sq = []
+    for out, w in zip(outs, weights):
+        sq = out["sq"][w]
         total_sq += float(sq.sum())
         total_n += float(w.sum())
         if "sq_right" in out:
-            right_sq += float(np.asarray(out["sq_right"])[w].mean())
+            right_sq += float(out["sq_right"][w].mean())
             trans_sum += float(out["trans"])
             batches += 1.0
         all_sq.append(sq)
-        all_users.append(batch["user"][w])
-        all_items.append(batch["item"][w])
 
     sq = np.concatenate(all_sq) if all_sq else np.zeros(0)
-    users = np.concatenate(all_users) if all_users else np.zeros(0, int)
-    items = np.concatenate(all_items) if all_items else np.zeros(0, int)
+    users = np.concatenate(users_l) if users_l else np.zeros(0, int)
+    items = np.concatenate(items_l) if items_l else np.zeros(0, int)
     user_count_mse_map = _count_mse_maps(user_count[users], sq)
     item_count_mse_map = _count_mse_maps(item_count[items], sq)
 
@@ -145,10 +155,12 @@ def eval_ranking(rank_step, params, neg_records, hp: HyperParams,
     place = make_placer(mesh if jax.process_count() == 1 else None)
     bs = batch_size or hp.batch_size
     batcher = Batcher(neg_records, bs)
-    ranks = []
+    ranks_d, weights = [], []
     for batch in batcher:
-        r = np.asarray(rank_step(params, place(batch)))
-        ranks.append(r[batch["weight"].astype(bool)])
+        ranks_d.append(rank_step(params, place(batch)))
+        weights.append(batch["weight"].astype(bool))
+    ranks_d = jax.device_get(ranks_d)    # one blocking fetch per split
+    ranks = [r[w] for r, w in zip(ranks_d, weights)]
     ranks = np.concatenate(ranks) if ranks else np.zeros(0, np.int64)
 
     metrics = {}

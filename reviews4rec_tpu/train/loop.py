@@ -41,21 +41,36 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _trainable_mask(params):
+    """False for the frozen `word_vectors` tables (layers.py
+    frozen_word_table): like torch params with requires_grad=False they
+    never reach the optimizer — no Adam moments, no weight decay. Their
+    gradients are zero (stop_gradient), and optax.masked passes the
+    zero update through untouched."""
+    def trainable(path, _leaf):
+        last = path[-1]
+        name = getattr(last, "key", getattr(last, "name", str(last)))
+        return name != "word_vectors"
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
 def make_optimizer(hp: HyperParams) -> optax.GradientTransformation:
     if hp.model_type == "MPCN":
         # The MPCN stack trains with Adam(1e-3), global-norm clip 1 and
         # L2 1e-8 (MPCN/parser.py:92-99,160-163; model.py:735-741 adds
         # l2_reg * sum(l2_loss(w)) to the cost, whose gradient is
         # l2_reg * w, i.e. additive decay before clipping).
-        return optax.chain(
+        inner = optax.chain(
             optax.add_decayed_weights(hp.mpcn_l2),
             optax.clip_by_global_norm(hp.mpcn_clip_norm),
             optax.adam(hp.mpcn_lr),
         )
-    return optax.chain(
-        optax.add_decayed_weights(hp.weight_decay),
-        optax.adam(hp.lr),
-    )
+    else:
+        inner = optax.chain(
+            optax.add_decayed_weights(hp.weight_decay),
+            optax.adam(hp.lr),
+        )
+    return optax.masked(inner, _trainable_mask)
 
 
 def _batch_loss(preds, batch, model_type: str, loss_name: str = "RAW_MSE",

@@ -126,8 +126,25 @@ def test_mpcn_pointer_is_onehot(dataset, hp_base):
 
 
 def test_deepconn_uses_frozen_word_vectors(dataset, hp_base):
-    """Word vectors are constants, not parameters (DeepCoNN.py:14-16)."""
+    """Word vectors are frozen (DeepCoNN.py:14-16): declared as a param
+    so the table enters jit as a traced argument (not a jaxpr constant),
+    but stop_gradient + the optimizer mask keep it bitwise unchanged by
+    training."""
+    from reviews4rec_tpu.train.evaluate import make_apply_fn
+    from reviews4rec_tpu.train.loop import (TrainState, make_optimizer,
+                                            make_train_step)
+
     hp, model, params, batch = _setup(dataset, hp_base, "deepconn")
-    flat = jax.tree_util.tree_leaves_with_path(params)
-    names = ["/".join(str(k) for k in path) for path, _ in flat]
-    assert not any("word" in n.lower() for n in names)
+    assert "word_vectors" in params
+    np.testing.assert_array_equal(np.asarray(params["word_vectors"]),
+                                  dataset.word_vectors)
+    opt = make_optimizer(hp)
+    step = make_train_step(make_apply_fn(model), opt, hp.model_type)
+    state = TrainState(jax.tree_util.tree_map(jnp.copy, params),
+                       opt.init(params), jnp.zeros((), jnp.int32))
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(state.params["word_vectors"]),
+                                  dataset.word_vectors)
+    # everything else trained
+    assert not np.allclose(np.asarray(state.params["fm"]["V"]),
+                           np.asarray(params["fm"]["V"]))
