@@ -57,6 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--{f.name}", **kw)
     p.add_argument("--json", action="store_true",
                    help="print the final metrics as one JSON line")
+    # multi-host runtime (parallel/distributed.py): every host runs the
+    # same command with its own --process_id; jax.devices() becomes the
+    # global device set and hp.mesh_shape spans hosts
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (process 0); "
+                        "defaults to $JAX_COORDINATOR_ADDRESS")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total number of processes in the multi-host run")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's index in [0, num_processes)")
     return p
 
 
@@ -71,6 +81,12 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     hp = hp_from_args(args)
 
+    # Bring up the cross-host runtime BEFORE any JAX call (the .api
+    # import initializes the backend). No-op without --coordinator /
+    # env vars (parallel/distributed.py).
+    from .parallel.distributed import initialize, is_primary
+    initialize(args.coordinator, args.num_processes, args.process_id)
+
     data_dir = hp.data_dir()
     if not os.path.exists(os.path.join(data_dir, "corpus.npz")):
         print(f"error: no preprocessed corpus at {data_dir}/corpus.npz — "
@@ -79,8 +95,10 @@ def main(argv=None) -> int:
         return 2
 
     from .api import run
-    metrics, user_map, item_map = run(hp, quiet=False)
+    metrics, user_map, item_map = run(hp, quiet=not is_primary())
 
+    if not is_primary():
+        return 0
     if args.json:
         print(json.dumps(metrics))
     else:

@@ -26,13 +26,13 @@ def _finalize(hp, model, params, dataset, quiet: bool, mesh=None):
     from .data.batcher import Batcher
 
     apply_fn = make_apply_fn(model)
-    eval_step = make_eval_step(apply_fn, hp.model_type)
+    eval_step = make_eval_step(apply_fn, hp.model_type, mesh=mesh)
     test_b = Batcher(dataset.materialize(hp, "test"), hp.batch_size)
     metrics, ucm, icm = evaluate(eval_step, params, test_b, hp,
                                  dataset.user_count, dataset.item_count,
                                  mesh=mesh)
 
-    rank_step = make_rank_step(apply_fn, hp.model_type)
+    rank_step = make_rank_step(apply_fn, hp.model_type, mesh=mesh)
     neg_recs = dataset.materialize_negs(hp)
     # Review-model candidate tensors are large; use a smaller outer batch
     # (kept divisible over the mesh data axis).

@@ -7,10 +7,15 @@ host here rides `jax.distributed`: every host runs the same program,
 `parallel.mesh.make_mesh` span hosts — XLA routes collectives over ICI
 within a slice and DCN across slices with no further code.
 
-Call `initialize()` once per process before any other JAX call (the
-training CLI does this when --coordinator is passed; single-host runs
-skip it). Input pipeline: each host feeds only its slice of every
-global batch (`mesh.host_slice` + `mesh.shard_batch`).
+Call `initialize()` once per process before any other JAX call. The
+training CLI (`python -m reviews4rec_tpu`) does this when
+`--coordinator host:port --num_processes N --process_id I` is passed,
+or when the JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+JAX_PROCESS_ID env vars are set; single-host runs skip it. Input
+pipeline: each host feeds only its slice of every global batch
+(`mesh.host_slice` + `mesh.shard_batch`); log and checkpoint writes
+happen on the primary process only (`is_primary`). The two-process CPU
+integration test is tests/test_multihost.py.
 """
 
 from __future__ import annotations

@@ -20,6 +20,13 @@ def save_checkpoint(path: str, params: Any, *, opt_state: Any = None,
                     step: int = 0, epoch: int = 0,
                     extra: Optional[Dict] = None,
                     best_params: Any = None) -> None:
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # primary-only writes under jax.distributed: every process holds
+        # identical (replicated or restorable) state; N writers to one
+        # path would race. device_get below requires the fetched arrays
+        # to be process-addressable — replicate tables across hosts
+        # (model axis within one host) when checkpointing multi-host.
+        return
     payload = {
         # to_state_dict flattens NamedTuple optimizer states into plain
         # dicts that the msgpack codec accepts

@@ -15,6 +15,7 @@ Protocol parity with the reference:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -39,11 +40,22 @@ def make_apply_fn(model) -> Callable:
     return apply_fn
 
 
-def make_eval_step(apply_fn: Callable, model_type: str):
+def _replicated_out(mesh):
+    """Under `jax.distributed` the per-example eval outputs must be
+    fetchable by every process: force replicated output sharding (one
+    all-gather per batch over the data axis, eval-only). Single-process
+    runs keep GSPMD's choice."""
+    if mesh is None or jax.process_count() == 1:
+        return {}
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return {"out_shardings": NamedSharding(mesh, P())}
+
+
+def make_eval_step(apply_fn: Callable, model_type: str, mesh=None):
     """Jitted per-batch scorer returning per-example squared errors (and
     transnet auxiliary metrics)."""
 
-    @jax.jit
+    @partial(jax.jit, **_replicated_out(mesh))
     def eval_step(params, batch):
         preds = apply_fn(params, batch, False, jax.random.PRNGKey(0))
         y = batch["rating"]
@@ -83,12 +95,12 @@ def evaluate(eval_step, params, batcher: Batcher, hp: HyperParams,
              user_count: np.ndarray, item_count: np.ndarray,
              mesh=None) -> Tuple[Dict, Dict, Dict]:
     """Split MSE + per-train-frequency MSE maps (reference evaluate(),
-    eval.py:11-62). With a mesh, batches are sharded over the data axis
-    (single-host; multi-host eval keeps batches replicated so every
-    process computes identical metrics)."""
+    eval.py:11-62). With a mesh, batches are sharded over the data axis;
+    under multi-host each process feeds its slice and the per-example
+    outputs come back replicated (`_replicated_out`)."""
     from ..train.loop import make_placer
 
-    place = make_placer(mesh if jax.process_count() == 1 else None)
+    place = make_placer(mesh)
     # Dispatch every batch without blocking, then fetch the whole
     # split's outputs in ONE device_get: a per-batch np.asarray would
     # sync the device every step and serialize dispatch (the same
@@ -130,8 +142,8 @@ def evaluate(eval_step, params, batcher: Batcher, hp: HyperParams,
     return metrics, user_count_mse_map, item_count_mse_map
 
 
-def make_rank_step(apply_fn: Callable, model_type: str):
-    @jax.jit
+def make_rank_step(apply_fn: Callable, model_type: str, mesh=None):
+    @partial(jax.jit, **_replicated_out(mesh))
     def rank_step(params, batch):
         preds = apply_fn(params, batch, False, jax.random.PRNGKey(0))
         if model_type in ("transnet", "transnet++"):
@@ -152,7 +164,7 @@ def eval_ranking(rank_step, params, neg_records, hp: HyperParams,
     eval_ranking(), eval.py:64-91: k=1, hit iff argmax is the positive)."""
     from ..train.loop import make_placer
 
-    place = make_placer(mesh if jax.process_count() == 1 else None)
+    place = make_placer(mesh)
     bs = batch_size or hp.batch_size
     batcher = Batcher(neg_records, bs)
     ranks_d, weights = [], []

@@ -303,9 +303,9 @@ def train_complete(hp: HyperParams, model, dataset, *,
 
         train_step = make_train_step(apply_fn, optimizer, hp.model_type,
                                      hp.loss, hp.hinge_margin)
-        eval_step = make_eval_step(apply_fn, hp.model_type)
-        rank_step = make_rank_step(apply_fn, hp.model_type) if ranking \
-            else None
+        eval_step = make_eval_step(apply_fn, hp.model_type, mesh=mesh)
+        rank_step = (make_rank_step(apply_fn, hp.model_type, mesh=mesh)
+                     if ranking else None)
         place = make_placer(mesh)
 
         log = hp.log_file()

@@ -9,7 +9,20 @@ import time
 from typing import Dict, Optional
 
 
+def _primary() -> bool:
+    """Only the primary process writes logs under `jax.distributed`
+    (every process computes identical metrics; N appenders to one file
+    would interleave)."""
+    try:
+        import jax
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def file_write(log_file: Optional[str], s: str, quiet: bool = False) -> None:
+    if not _primary():
+        return
     if not quiet:
         print(s)
     if log_file:
