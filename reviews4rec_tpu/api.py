@@ -95,18 +95,18 @@ def _run_neumf(hp: HyperParams, dataset: ReviewDataset, quiet: bool):
     # phases land in distinct files (reference appends "_gmf"/"_mlp" to
     # one path, main.py:305,314)
     gmf_hp = hp.replace(model_type="GMF")
-    gmf_model = build_model(gmf_hp)
+    gmf_model = build_model(gmf_hp, mesh=mesh)
     gmf_params, _ = train_complete(
         gmf_hp, gmf_model, dataset, quiet=quiet, mesh=mesh,
         checkpoint_path=gmf_hp.model_path() if hp.save_model else None)
 
     mlp_hp = hp.replace(model_type="MLP")
-    mlp_model = build_model(mlp_hp)
+    mlp_model = build_model(mlp_hp, mesh=mesh)
     mlp_params, _ = train_complete(
         mlp_hp, mlp_model, dataset, quiet=quiet, mesh=mesh,
         checkpoint_path=mlp_hp.model_path() if hp.save_model else None)
 
-    model = build_model(hp)
+    model = build_model(hp, mesh=mesh)
     import jax
     from .data.batcher import Batcher
     sample = next(iter(Batcher(dataset.materialize(hp, "train"),

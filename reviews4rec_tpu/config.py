@@ -138,6 +138,16 @@ class HyperParams:
     # numerics; the accumulator stays f32 either way.
     compute_dtype: str = "float32"
     use_pallas: bool = False                  # A/B switch for Pallas kernels
+    # Gather strategy for the row-sharded user/item embedding tables of
+    # the MF family (parallel/embedding.py; SURVEY.md §2.8 row 3):
+    #   "gspmd" — plain jnp.take, XLA partitions the gather (default)
+    #   "psum"  — owner-computes shard_map kernel, one all-reduce of
+    #             [batch, dim] over the model axis
+    #   "a2a"   — ID-partitioned all-to-all exchange, 2·(batch/n)·dim
+    #             per link; the win grows with the model-axis size
+    # psum/a2a require mesh_shape[1] > 1. Review towers keep GSPMD for
+    # their id/bias side lookups (tiny next to the text encoders).
+    embedding_lookup: str = "gspmd"
     # shard the review-doc time axis of every TextCNN over the model
     # axis (ppermute halo exchange, parallel/sequence.py) — the scaling
     # path for input_length beyond one chip's HBM; requires

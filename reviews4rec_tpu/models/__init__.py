@@ -37,6 +37,11 @@ def build_model(hp: HyperParams, word_vectors=None, mesh=None):
             stacklevel=2)
     if mt == "bias_only":
         return BiasOnly(**common)
+    if hp.embedding_lookup != "gspmd" and mt in ("MF_dot", "MF", "GMF",
+                                                 "MLP", "NeuMF"):
+        from ..parallel.embedding import make_lookup
+        common["lookup"] = make_lookup(hp.embedding_lookup, mesh,
+                                       hp.mesh_axes[1])
     if mt == "MF_dot":
         return MFDot(latent_size=hp.latent_size, dropout=hp.dropout, **common)
     if mt == "MF":

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import FM, MLPTower, xavier_uniform
+from .layers import FM, MLPTower, embed_lookup, xavier_uniform
 
 
 def _bias_tables(mod: nn.Module, num_user_rows: int, num_item_rows: int):
@@ -48,6 +48,9 @@ class MFDot(nn.Module):
     num_item_rows: int
     latent_size: int
     dropout: float = 0.6
+    # embedding gather strategy (hp.embedding_lookup via
+    # parallel.embedding.make_lookup); None = plain jnp.take (GSPMD)
+    lookup: object = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -58,8 +61,9 @@ class MFDot(nn.Module):
         ie = self.param("item_embedding", xavier_uniform(),
                         (self.num_item_rows, self.latent_size))
         drop = nn.Dropout(self.dropout, deterministic=not train)
-        u = drop(jnp.take(ue, batch["user"], axis=0))
-        i = drop(jnp.take(ie, batch["item"], axis=0))
+        lk = self.lookup or embed_lookup
+        u = drop(lk(ue, batch["user"]))
+        i = drop(lk(ie, batch["item"]))
         dot = jnp.sum(u * i, axis=-1)
         return (jnp.take(ub, batch["user"], axis=0)
                 + jnp.take(ib, batch["item"], axis=0) + gb[0] + dot)
@@ -74,6 +78,9 @@ class MF(nn.Module):
     num_item_rows: int
     latent_size: int
     dropout: float = 0.6
+    # embedding gather strategy (hp.embedding_lookup via
+    # parallel.embedding.make_lookup); None = plain jnp.take (GSPMD)
+    lookup: object = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -84,8 +91,9 @@ class MF(nn.Module):
         ie = self.param("item_embedding", xavier_uniform(),
                         (self.num_item_rows, self.latent_size))
         drop = nn.Dropout(self.dropout, deterministic=not train)
-        u = drop(jnp.take(ue, batch["user"], axis=0))
-        i = drop(jnp.take(ie, batch["item"], axis=0))
+        lk = self.lookup or embed_lookup
+        u = drop(lk(ue, batch["user"]))
+        i = drop(lk(ie, batch["item"]))
 
         mf_vec = u * i
         mlp_vec = MLPTower((self.latent_size, self.latent_size),
@@ -104,6 +112,9 @@ class GMF(nn.Module):
     num_item_rows: int
     latent_size: int
     dropout: float = 0.6
+    # embedding gather strategy (hp.embedding_lookup via
+    # parallel.embedding.make_lookup); None = plain jnp.take (GSPMD)
+    lookup: object = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -114,8 +125,9 @@ class GMF(nn.Module):
         ie = self.param("item_embedding", xavier_uniform(),
                         (self.num_item_rows, self.latent_size))
         drop = nn.Dropout(self.dropout, deterministic=not train)
-        u = drop(jnp.take(ue, batch["user"], axis=0))
-        i = drop(jnp.take(ie, batch["item"], axis=0))
+        lk = self.lookup or embed_lookup
+        u = drop(lk(ue, batch["user"]))
+        i = drop(lk(ie, batch["item"]))
         rating = nn.Dense(1, kernel_init=xavier_uniform(),
                           name="final")(u * i)[..., 0]
         return (jnp.take(ub, batch["user"], axis=0)
@@ -129,6 +141,9 @@ class MLPModel(nn.Module):
     num_item_rows: int
     latent_size: int
     dropout: float = 0.6
+    # embedding gather strategy (hp.embedding_lookup via
+    # parallel.embedding.make_lookup); None = plain jnp.take (GSPMD)
+    lookup: object = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -139,8 +154,9 @@ class MLPModel(nn.Module):
         ie = self.param("item_embedding", xavier_uniform(),
                         (self.num_item_rows, self.latent_size))
         drop = nn.Dropout(self.dropout, deterministic=not train)
-        u = drop(jnp.take(ue, batch["user"], axis=0))
-        i = drop(jnp.take(ie, batch["item"], axis=0))
+        lk = self.lookup or embed_lookup
+        u = drop(lk(ue, batch["user"]))
+        i = drop(lk(ie, batch["item"]))
         joint = MLPTower((self.latent_size, self.latent_size),
                          dropout=self.dropout, name="project")(
             jnp.concatenate([u, i], axis=-1), train=train)
@@ -158,6 +174,9 @@ class NeuMF(nn.Module):
     num_item_rows: int
     latent_size: int
     dropout: float = 0.6
+    # embedding gather strategy (hp.embedding_lookup via
+    # parallel.embedding.make_lookup); None = plain jnp.take (GSPMD)
+    lookup: object = None
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -173,12 +192,13 @@ class NeuMF(nn.Module):
                          (self.num_item_rows, self.latent_size))
         drop = nn.Dropout(self.dropout, deterministic=not train)
 
-        gu = drop(jnp.take(gue, batch["user"], axis=0))
-        gi = drop(jnp.take(gie, batch["item"], axis=0))
+        lk = self.lookup or embed_lookup
+        gu = drop(lk(gue, batch["user"]))
+        gi = drop(lk(gie, batch["item"]))
         gmf_joint = gu * gi
 
-        mu = drop(jnp.take(mue, batch["user"], axis=0))
-        mi = drop(jnp.take(mie, batch["item"], axis=0))
+        mu = drop(lk(mue, batch["user"]))
+        mi = drop(lk(mie, batch["item"]))
         mlp_joint = MLPTower((self.latent_size, self.latent_size),
                              dropout=self.dropout, name="project")(
             jnp.concatenate([mu, mi], axis=-1), train=train)

@@ -111,3 +111,35 @@ def sharded_lookup_a2a(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh,
     return shard_map(kernel, mesh=mesh,
                      in_specs=(P(axis, None), P(axis)),
                      out_specs=P(axis))(table, ids)
+
+
+def make_lookup(strategy: str, mesh: Mesh, axis: str = "model"):
+    """Config-selected embedding gather (hp.embedding_lookup): a
+    callable (table [R, D], ids any-shape int) -> ids.shape + (D,).
+    All three strategies are bitwise-identical in value and table
+    gradient; they differ only in which collective moves the rows."""
+    if strategy == "gspmd":
+        return lambda table, ids: jnp.take(table, ids, axis=0)
+    if mesh is None or mesh.shape[axis] < 2:
+        raise ValueError(
+            f"embedding_lookup={strategy!r} needs a mesh with {axis!r} "
+            f"axis > 1; got {None if mesh is None else dict(mesh.shape)}")
+    if strategy == "psum":
+        return lambda table, ids: sharded_lookup(table, ids, mesh, axis)
+    if strategy == "a2a":
+        n = mesh.shape[axis]
+
+        def lookup(table, ids):
+            flat = ids.reshape(-1)
+            pad = (-flat.shape[0]) % n
+            if pad:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((pad,), flat.dtype)])
+            out = sharded_lookup_a2a(table, flat, mesh, axis)
+            if pad:
+                out = out[:-pad]
+            return out.reshape(ids.shape + (table.shape[1],))
+
+        return lookup
+    raise ValueError(f"unknown embedding_lookup {strategy!r} "
+                     f"(expected gspmd | psum | a2a)")

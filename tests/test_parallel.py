@@ -245,3 +245,58 @@ def test_seq_parallel_requires_model_axis(dataset, hp_base):
     hp = hp_base.replace(model_type="deepconn", seq_parallel=True)
     with pytest.raises(ValueError):
         build_model(hp, dataset.word_vectors, mesh=None)
+
+
+@pytest.mark.parametrize("strategy", ["psum", "a2a"])
+def test_make_lookup_matches_take_value_and_grad(strategy):
+    """hp.embedding_lookup strategies (parallel/embedding.make_lookup):
+    value and table gradient must be bitwise the plain gather, for both
+    flat [B] ids and [B, C] candidate grids (ranking eval layout)."""
+    from reviews4rec_tpu.parallel.embedding import make_lookup
+
+    mesh = make_mesh((2, 4))
+    lk = make_lookup(strategy, mesh)
+    rows, dim = 64, 16
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.normal(size=(rows, dim)), jnp.float32)
+    sharded = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+
+    for shape in [(24,), (5, 6)]:
+        ids = jnp.asarray(rng.integers(0, rows, shape).astype(np.int32))
+        w = jnp.asarray(rng.normal(size=shape + (dim,)), jnp.float32)
+        expect = np.asarray(jnp.take(table, ids, axis=0))
+        got = lk(sharded, ids)
+        assert np.array_equal(np.asarray(got), expect), shape
+
+        g_ref = jax.grad(lambda t: jnp.sum(jnp.take(t, ids, axis=0) * w))(
+            table)
+        g_got = jax.grad(lambda t: jnp.sum(lk(t, ids) * w))(sharded)
+        assert np.allclose(np.asarray(g_got), np.asarray(g_ref)), shape
+
+
+def test_make_lookup_requires_model_axis():
+    from reviews4rec_tpu.parallel.embedding import make_lookup
+
+    with pytest.raises(ValueError):
+        make_lookup("psum", None)
+    with pytest.raises(ValueError):
+        make_lookup("a2a", make_mesh((8, 1)))
+    with pytest.raises(ValueError):
+        make_lookup("bogus", make_mesh((2, 4)))
+
+
+@pytest.mark.parametrize("strategy", ["psum", "a2a"])
+def test_api_run_embedding_lookup_matches_gspmd(dataset, hp_base,
+                                                strategy):
+    """The PRODUCT path: hp.embedding_lookup selects the explicit
+    collective lookups inside the MF-family gathers, and full training +
+    eval through api.run reproduces the GSPMD path's metrics."""
+    from reviews4rec_tpu.api import run
+
+    hp = hp_base.replace(model_type="MF_dot", epochs=2, batch_size=32,
+                         mesh_shape=(4, 2))
+    ref, ucm_ref, _ = run(hp, dataset)
+    got, ucm, _ = run(hp.replace(embedding_lookup=strategy), dataset)
+    assert np.isclose(got["MSE"], ref["MSE"], atol=3e-4)
+    assert got["HR@1"] == ref["HR@1"]
+    assert set(ucm) == set(ucm_ref)
