@@ -327,21 +327,24 @@ class ReviewDataset:
         self._cache[key] = recs
         return recs
 
-    def materialize_to_disk(self, hp, split: str,
-                            root: Optional[str] = None
-                            ) -> Dict[str, np.ndarray]:
-        """Out-of-core analogue of `materialize` (reference fast loader
-        + quick-data persistence, data_fast.py:24-119 /
-        make_quick_data.py:21-44): doc/neighbor tensors are assembled
-        `hp.materialize_chunk_rows` examples at a time directly into
-        .npy files and returned memory-mapped (read-only). Peak host RAM
-        is one chunk, not the split; re-opening an existing store is
-        instant. Byte-identical to the in-RAM records (tested)."""
+    def _disk_store(self, hp, root: Optional[str], tag: str,
+                    id_arrays: Dict[str, np.ndarray],
+                    flat_inputs, lead: Tuple[int, ...]
+                    ) -> Dict[str, np.ndarray]:
+        """Generic out-of-core record store (reference fast loader +
+        quick-data persistence, data_fast.py:24-119 /
+        make_quick_data.py:21-44): `id_arrays` are written directly;
+        doc/neighbor tensors of shape `lead + tail` are assembled
+        `hp.materialize_chunk_rows` flattened examples at a time from
+        `flat_inputs = (user, item, ui_idx, iu_idx, this_rev)` directly
+        into .npy files and returned memory-mapped (read-only). Peak
+        host RAM is one chunk, not the store; re-opening an existing
+        store is instant. Byte-identical to the in-RAM records
+        (tests/test_out_of_core.py)."""
         import json
 
         rows, words = _doc_layout(hp)
         root = root or os.path.join(hp.data_dir(), "records")
-        tag = f"{split}_{rows}x{words}_p{hp.user_pad_id}"
         d = os.path.join(root, tag)
         manifest = os.path.join(d, "manifest.json")
 
@@ -355,58 +358,87 @@ class ReviewDataset:
             return open_store()
 
         os.makedirs(d, exist_ok=True)
-        sp = self.splits[split]
-        n = len(sp)
-        user, item, ui_idx, iu_idx, this_rev = self._examples(split)
-        doc3 = rows > 1
-        doc_shape = (n, rows, words) if doc3 else (n, words)
-        spec = {
-            "user": ((n,), np.int32), "item": ((n,), np.int32),
-            "rating": ((n,), np.float32),
-            "user_doc": (doc_shape, np.int32),
-            "item_doc": (doc_shape, np.int32),
-            "this_doc": (doc_shape, np.int32),
-            "users_who_gave": ((n, NEIGHBOR_SLOTS), np.int32),
-            "items_reviewed": ((n, NEIGHBOR_SLOTS), np.int32),
+        user, item, ui_idx, iu_idx, this_rev = flat_inputs
+        nflat = int(user.shape[0])
+        doc_tail = (rows, words) if rows > 1 else (words,)
+        text_spec = {
+            "user_doc": doc_tail, "item_doc": doc_tail,
+            "this_doc": doc_tail,
+            "users_who_gave": (NEIGHBOR_SLOTS,),
+            "items_reviewed": (NEIGHBOR_SLOTS,),
         }
+        spec = {k: (v.shape, v.dtype) for k, v in id_arrays.items()}
+        spec.update({k: (lead + tail, np.int32)
+                     for k, tail in text_spec.items()})
         mm = {k: np.lib.format.open_memmap(
                   os.path.join(d, k + ".npy"), mode="w+", dtype=dt,
                   shape=shape)
               for k, (shape, dt) in spec.items()}
-        mm["user"][:] = user
-        mm["item"][:] = item
-        mm["rating"][:] = sp.rating.astype(np.float32)
+        for k, v in id_arrays.items():
+            mm[k][:] = v
+        # flattened views over the lead dims (C-order memmaps reshape
+        # without copying) so grid layouts chunk like flat splits
+        flat = {k: mm[k].reshape((nflat,) + tail)
+                for k, tail in text_spec.items()}
         chunk = max(1, int(hp.materialize_chunk_rows))
-        for start in range(0, n, chunk):
-            sl = slice(start, min(start + chunk, n))
+        for start in range(0, nflat, chunk):
+            sl = slice(start, min(start + chunk, nflat))
             out = self._text_records(hp, user[sl], item[sl], ui_idx[sl],
                                      iu_idx[sl], this_rev[sl])
             for k, v in out.items():
-                mm[k][sl] = v
+                flat[k][sl] = v
         for v in mm.values():
             v.flush()
-        del mm
+        del mm, flat
         tmp = manifest + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"arrays": sorted(spec)}, fh)
         os.replace(tmp, manifest)  # store is valid only once complete
         return open_store()
 
+    def materialize_to_disk(self, hp, split: str,
+                            root: Optional[str] = None
+                            ) -> Dict[str, np.ndarray]:
+        """Out-of-core analogue of `materialize` for one rating split."""
+        rows, words = _doc_layout(hp)
+        sp = self.splits[split]
+        n = len(sp)
+        flat_inputs = self._examples(split)
+        return self._disk_store(
+            hp, root, f"{split}_{rows}x{words}_p{hp.user_pad_id}",
+            {"user": flat_inputs[0], "item": flat_inputs[1],
+             "rating": sp.rating.astype(np.float32)},
+            flat_inputs, lead=(n,))
+
     def materialize_negs(self, hp) -> Dict[str, np.ndarray]:
         """Candidate-grid records for ranking eval: [M, C] ids (positive
         in column 0), plus doc tensors for review models. Mirrors the
         reference's `iter_negs` 6-candidate batches (data.py:375-447);
-        no leakage removal (test-time), `this_doc` stays zero."""
+        no leakage removal (test-time), `this_doc` stays zero.
+
+        With `hp.out_of_core` the [M, C, ...] doc grids — num_candidates
+        times the split's footprint, the first tensors to exhaust RAM on
+        a real dataset (reference fast loader rationale,
+        data_fast.py:24-119) — are built chunk-wise into the memmapped
+        record store instead of host RAM."""
         with_text = hp.family == "review"
+        m, c = self.neg_cands.shape
+        user = np.repeat(self.neg_users, c).reshape(m, c).astype(np.int32)
+        item = self.neg_cands.astype(np.int32)
+        rating = np.zeros((m, c), np.float32)
+        if with_text and getattr(hp, "out_of_core", False):
+            rows, words = _doc_layout(hp)
+            neg1 = np.full(m * c, -1, np.int32)
+            return self._disk_store(
+                hp, None, f"negs_{rows}x{words}_p{hp.user_pad_id}_c{c}",
+                {"user": user, "item": item, "rating": rating},
+                (user.reshape(-1), item.reshape(-1), neg1, neg1, neg1),
+                lead=(m, c))
         key = ("negs", _doc_layout(hp) if with_text else "id",
                hp.user_pad_id if with_text else 0)
         if key in self._cache:
             return self._cache[key]
-        m, c = self.neg_cands.shape
-        user = np.repeat(self.neg_users, c).reshape(m, c).astype(np.int32)
-        item = self.neg_cands.astype(np.int32)
-        recs = {"user": user, "item": item,
-                "rating": np.zeros((m, c), np.float32)}
+        recs = {"user": user, "item": item, "rating": rating}
         if with_text:
             fu = user.reshape(-1)
             fi = item.reshape(-1)
@@ -426,10 +458,12 @@ class ReviewDataset:
         rank evaluator are shared. (New capability — the reference's
         ranking losses exist in the MPCN lib, model.py:722-733, but its
         runner never builds train-time negative sets.)"""
+        out_of_core = (hp.family == "review"
+                       and getattr(hp, "out_of_core", False))
         key = ("train_negs", split,
                _doc_layout(hp) if hp.family == "review" else "id",
                hp.num_negs, seed)
-        if key in self._cache:
+        if not out_of_core and key in self._cache:
             return self._cache[key]
         sp = self.splits[split]
         tr = self.splits["train"]
@@ -470,8 +504,16 @@ class ReviewDataset:
             iu = np.full((n, k + 1), -1, np.int32)
             iu[:, 0] = iu0
             neg1 = np.full(n * (k + 1), -1, np.int32)
-            out = self._text_records(hp, user.reshape(-1), cands.reshape(-1),
-                                     ui.reshape(-1), iu.reshape(-1), neg1)
+            flat_inputs = (user.reshape(-1), cands.reshape(-1),
+                           ui.reshape(-1), iu.reshape(-1), neg1)
+            if out_of_core:
+                rows, words = _doc_layout(hp)
+                return self._disk_store(
+                    hp, None,
+                    f"trainnegs_{split}_{rows}x{words}"
+                    f"_p{hp.user_pad_id}_c{k + 1}_s{seed}",
+                    recs, flat_inputs, lead=(n, k + 1))
+            out = self._text_records(hp, *flat_inputs)
             for kk, v in out.items():
                 recs[kk] = v.reshape((n, k + 1) + v.shape[1:])
         self._cache[key] = recs

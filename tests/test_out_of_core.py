@@ -53,3 +53,56 @@ def test_api_run_out_of_core(tmp_path, dataset, hp_base):
                                   materialize_chunk_rows=16), dataset)
     assert m_ram["MSE"] == m_disk["MSE"]
     assert m_ram["HR@1"] == m_disk["HR@1"]
+
+
+def test_negs_grid_disk_matches_ram(tmp_path, dataset, hp_base):
+    """Candidate-grid ranking tensors ([M, C, ...], num_candidates x the
+    split's footprint — the actual RAM hazard, reference
+    data_fast.py:24-119) stream from the memmapped store byte-identical
+    to the in-RAM grids."""
+    hp = hp_base.replace(model_type="deepconn",
+                         data_root=str(tmp_path / "data"),
+                         materialize_chunk_rows=7)
+    ram = dataset.materialize_negs(hp)
+    disk = dataset.materialize_negs(hp.replace(out_of_core=True))
+    assert set(ram) <= set(disk)
+    for k in ram:
+        assert isinstance(disk[k], np.memmap), k
+        assert np.array_equal(np.asarray(disk[k]), ram[k]), k
+    # grid shape preserved: [M, C, words]
+    assert disk["user_doc"].ndim == 3
+    # reopening hits the manifest, not a rebuild
+    again = dataset.materialize_negs(hp.replace(out_of_core=True))
+    assert np.array_equal(np.asarray(again["item_doc"]), ram["item_doc"])
+
+
+def test_train_negs_grid_disk_matches_ram(tmp_path, dataset, hp_base):
+    """Sampled training candidate grids (hp.loss ranking path) from the
+    disk store, leakage removal included, byte-identical."""
+    hp = hp_base.replace(model_type="NARRE",
+                         data_root=str(tmp_path / "data"),
+                         materialize_chunk_rows=5)
+    ram = dataset.materialize_train_negs(hp, "train", seed=4)
+    disk = dataset.materialize_train_negs(
+        hp.replace(out_of_core=True), "train", seed=4)
+    for k in ram:
+        assert np.array_equal(np.asarray(disk[k]), ram[k]), k
+    assert isinstance(disk["user_doc"], np.memmap)
+    assert disk["user_doc"].ndim == 4  # [N, C, reviews, words]
+
+
+def test_api_run_ranking_loss_out_of_core(tmp_path, dataset, hp_base):
+    """Full product path with a ranking loss: train + rank-eval a review
+    model entirely from memmapped grid stores, identical metrics."""
+    from reviews4rec_tpu.api import run
+
+    hp = hp_base.replace(model_type="deepconn", epochs=1, loss="BPR",
+                         batch_size=16,
+                         data_root=str(tmp_path / "data"),
+                         log_dir=str(tmp_path / "logs"),
+                         model_dir=str(tmp_path / "models"))
+    m_ram, _, _ = run(hp, dataset)
+    m_disk, _, _ = run(hp.replace(out_of_core=True,
+                                  materialize_chunk_rows=16), dataset)
+    assert m_ram["MSE"] == m_disk["MSE"]
+    assert m_ram["HR@1"] == m_disk["HR@1"]
