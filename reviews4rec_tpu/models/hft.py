@@ -56,9 +56,15 @@ class HFTData:
     users: jnp.ndarray      # [N] int32
     items: jnp.ndarray      # [N] int32
     ratings: jnp.ndarray    # [N] float32
+    # 1.0 real / 0.0 padding masks: sharding over the mesh data axis
+    # pads votes and tokens to an axis-size multiple (shard_hft_data);
+    # the energy and the count tables weight every contribution so pads
+    # are exact no-ops
+    vote_weight: jnp.ndarray  # [N] float32
     # token stream over all train reviews (HFT vocab ids)
     tok_word: jnp.ndarray   # [T] int32
     tok_item: jnp.ndarray   # [T] int32
+    tok_weight: jnp.ndarray  # [T] float32
     item_words: jnp.ndarray  # [I] int32: tokens per item (beerWords)
     # eval splits
     eval_sets: Dict[str, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
@@ -127,8 +133,10 @@ def build_hft_data(hp: HyperParams, dataset: ReviewDataset,
     return HFTData(
         users=jnp.asarray(tr.user), items=jnp.asarray(tr.item),
         ratings=jnp.asarray(tr.rating),
+        vote_weight=jnp.ones(len(tr), jnp.float32),
         tok_word=jnp.asarray(np.asarray(tok_word, np.int32)),
         tok_item=jnp.asarray(np.asarray(tok_item, np.int32)),
+        tok_weight=jnp.ones(len(tok_word), jnp.float32),
         item_words=jnp.asarray(item_words.astype(np.int32)),
         eval_sets=eval_sets,
         neg_users=jnp.asarray(np.repeat(dataset.neg_users[:, None],
@@ -142,6 +150,43 @@ def build_hft_data(hp: HyperParams, dataset: ReviewDataset,
     )
 
 
+def shard_hft_data(data: HFTData, mesh) -> HFTData:
+    """Distribute the EM workload over the mesh's data axis (the
+    TPU-native replacement for the reference's OpenMP partitioned loops,
+    language.cpp:259-321): vote arrays and the review token stream are
+    sharded on their leading dim, so the energy/gradient reductions of
+    the M-step and the E-step's per-token sampling + count scatter-adds
+    run as local partials combined by XLA-inserted psums. Parameters,
+    count tables and eval sets stay replicated (they are the small
+    side)."""
+    import dataclasses as dc
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+
+    def pad(x):
+        extra = (-x.shape[0]) % n
+        return jnp.concatenate(
+            [x, jnp.zeros((extra,), x.dtype)]) if extra else x
+
+    shd = lambda x: jax.device_put(pad(x), NamedSharding(mesh, P(axis)))
+    rep = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+    return dc.replace(
+        data,
+        users=shd(data.users), items=shd(data.items),
+        ratings=shd(data.ratings), vote_weight=shd(data.vote_weight),
+        tok_word=shd(data.tok_word), tok_item=shd(data.tok_item),
+        tok_weight=shd(data.tok_weight),
+        item_words=rep(data.item_words),
+        eval_sets={s: tuple(rep(a) for a in t)
+                   for s, t in data.eval_sets.items()},
+        neg_users=rep(data.neg_users), neg_items=rep(data.neg_items),
+        votes_per_user=rep(data.votes_per_user),
+        votes_per_item=rep(data.votes_per_item))
+
+
 def _predict(params, users, items):
     return (params["alpha"]
             + params["beta_u"][users] + params["beta_i"][items]
@@ -153,9 +198,10 @@ def make_energy(data: HFTData, hp: HyperParams):
     lam, lreg = hp.lamda, hp.latent_reg
 
     def energy(params, counts, background):
-        # rating term (language.cpp:340-345)
+        # rating term (language.cpp:340-345); vote_weight zeroes the
+        # sharding-padding rows
         err = _predict(params, data.users, data.items) - data.ratings
-        res = jnp.sum(err * err)
+        res = jnp.sum(err * err * data.vote_weight)
 
         # item-topic term (language.cpp:347-355)
         kappa = params["kappa"]
@@ -182,8 +228,10 @@ def init_params(data: HFTData, hp: HyperParams, verbose=print):
     zeroed again when lambda > 0; gammas/topicWords zero; background =
     relative word frequency."""
     K = hp.latent_size
+    n_votes = jnp.maximum(jnp.sum(data.vote_weight), 1.0)
     params = {
-        "alpha": jnp.asarray(jnp.mean(data.ratings)),
+        "alpha": jnp.asarray(jnp.sum(data.ratings * data.vote_weight)
+                             / n_votes),
         "kappa": jnp.asarray(1.0),
         "beta_u": jnp.zeros(data.num_users),
         "beta_i": jnp.zeros(data.num_items),
@@ -197,7 +245,7 @@ def init_params(data: HFTData, hp: HyperParams, verbose=print):
     verbose(f"Error w/ offset term only (train/valid/test) = "
             f"{errs['train']:.6f}/{errs['val']:.6f}/{errs['test']:.6f}")
 
-    resid = data.ratings - params["alpha"]
+    resid = (data.ratings - params["alpha"]) * data.vote_weight
     beta_u = jnp.zeros(data.num_users).at[data.users].add(resid) \
         / data.votes_per_user
     beta_i = jnp.zeros(data.num_items).at[data.items].add(resid) \
@@ -222,22 +270,27 @@ def init_params(data: HFTData, hp: HyperParams, verbose=print):
                   "gamma_u": jax.random.uniform(r1, (data.num_users, K)),
                   "gamma_i": jax.random.uniform(r2, (data.num_items, K))}
 
-    total = jnp.maximum(data.tok_word.shape[0], 1)
-    background = (jnp.zeros(data.num_words).at[data.tok_word].add(1.0)
-                  / total)
+    total = jnp.maximum(jnp.sum(data.tok_weight), 1.0)
+    background = (jnp.zeros(data.num_words)
+                  .at[data.tok_word].add(data.tok_weight) / total)
     return params, background
 
 
 @partial(jax.jit, static_argnames=("K",))
-def e_step(params, background, tok_word, tok_item, K: int, rng):
+def e_step(params, background, tok_word, tok_item, K: int, rng,
+           tok_weight=None):
     """Vectorized Gibbs resampling of every token's topic + count-table
     rebuild (updateTopics, language.cpp:168-238). Per-token probabilities
-    depend only on parameters, so all tokens sample in parallel."""
+    depend only on parameters, so all tokens sample in parallel; with a
+    sharded token stream the scatter-adds below psum into replicated
+    count tables, and `tok_weight` zeroes the shard-padding tokens."""
     logits = (params["kappa"] * params["gamma_i"][tok_item]
               + background[tok_word][:, None]
               + params["topic_words"][tok_word])        # [T, K]
     topics = jax.random.categorical(rng, logits, axis=-1)  # [T]
     onehot = jax.nn.one_hot(topics, K, dtype=jnp.float32)
+    if tok_weight is not None:
+        onehot = onehot * tok_weight[:, None]
     word_topic = jnp.zeros((background.shape[0], K)).at[tok_word].add(onehot)
     item_topic = jnp.zeros((params["gamma_i"].shape[0], K)) \
         .at[tok_item].add(onehot)
@@ -282,9 +335,11 @@ class HFTTrainer:
     best-validation snapshotting of predictions/metrics."""
 
     def __init__(self, hp: HyperParams, dataset: ReviewDataset,
-                 verbose=lambda *_: None):
+                 verbose=lambda *_: None, mesh=None):
         self.hp = hp
         self.data = build_hft_data(hp, dataset)
+        if mesh is not None:
+            self.data = shard_hft_data(self.data, mesh)
         self.dataset = dataset
         self.energy = make_energy(self.data, hp)
         self.m_step = make_m_step(self.energy, hp.hft_grad_iters)
@@ -326,7 +381,8 @@ class HFTTrainer:
         params, background = init_params(self.data, hp, self.verbose)
         rng, r0 = jax.random.split(rng)
         counts = e_step(params, background, self.data.tok_word,
-                        self.data.tok_item, K, r0)
+                        self.data.tok_item, K, r0,
+                        tok_weight=self.data.tok_weight)
 
         best_valid = float("inf")
         best = {"params": params, "background": background}
@@ -335,7 +391,8 @@ class HFTTrainer:
             if hp.lamda > 0:
                 rng, rs = jax.random.split(rng)
                 counts = e_step(params, background, self.data.tok_word,
-                                self.data.tok_item, K, rs)
+                                self.data.tok_item, K, rs,
+                                tok_weight=self.data.tok_weight)
                 params, background = normalize_word_weights(params,
                                                             background)
             errs = self.errors(params)
@@ -395,8 +452,11 @@ def save_artifacts(trainer: "HFTTrainer", hp: HyperParams, hr1: float,
 
 
 def run_hft(hp: HyperParams, dataset: ReviewDataset, quiet: bool = True):
+    from ..parallel.mesh import mesh_from_hp
+
     verbose = (lambda *_: None) if quiet else print
-    trainer = HFTTrainer(hp, dataset, verbose=verbose).fit()
+    mesh = mesh_from_hp(hp)
+    trainer = HFTTrainer(hp, dataset, verbose=verbose, mesh=mesh).fit()
     hr1 = round(trainer.ranking(trainer.params), 2)
     metrics = {
         "MSE": round(trainer.best_errors["test"], 4),

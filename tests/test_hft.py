@@ -177,3 +177,21 @@ def test_hft_artifacts(tmp_path, dataset, hp_base):
         assert len(rows) == len(dataset.splits[split])
         p, v = rows[0].split()
         float(p), float(v)
+
+
+def test_hft_sharded_em_matches_single_device(dataset, hp_base):
+    """HFT EM over the mesh data axis (vote + token-stream sharding,
+    replacing the C++ OpenMP loops language.cpp:259-321): sharded
+    numerics must match the single-device run. Partitionable threefry
+    makes the E-step's categorical draws sharding-invariant, so only
+    float reduction order differs."""
+    from reviews4rec_tpu.api import run
+
+    hp = hp_base.replace(model_type="HFT", latent_size=4,
+                         hft_em_iters=3, hft_grad_iters=5)
+    ref, ucm_ref, _ = run(hp, dataset)
+    got, ucm, _ = run(hp.replace(mesh_shape=(8, 1), batch_size=32),
+                      dataset)
+    assert np.isclose(got["MSE"], ref["MSE"], rtol=1e-4, atol=1e-5)
+    assert got["HR@1"] == ref["HR@1"]
+    assert set(ucm) == set(ucm_ref)
