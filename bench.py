@@ -45,7 +45,8 @@ def _dataset():
 
 
 def time_sgd_model(ds, model_type: str, use_pallas: bool = False,
-                   batch: int = BATCH, steps: int = STEPS) -> float:
+                   batch: int = BATCH, steps: int = STEPS,
+                   fuse_gather: bool = False) -> float:
     """Steady-state examples/s of the jitted train step."""
     import jax
     import jax.numpy as jnp
@@ -59,7 +60,7 @@ def time_sgd_model(ds, model_type: str, use_pallas: bool = False,
 
     hp = HyperParams(model_type=model_type, batch_size=batch,
                      input_length=INPUT_LEN, latent_size=LATENT,
-                     use_pallas=use_pallas)
+                     use_pallas=use_pallas, pallas_fuse_gather=fuse_gather)
     hp = ds.apply_to(hp)
     model = build_model(hp, ds.word_vectors)
     b = {k: jnp.asarray(v) for k, v in
@@ -83,14 +84,21 @@ def time_sgd_model(ds, model_type: str, use_pallas: bool = False,
         return time.perf_counter() - t0
 
     # slope timing: one tunnel round-trip (~23 ms) sits inside every
-    # timed window; differencing two step counts removes it. Min-of-2
-    # per window: the tunnel occasionally stalls a window by 100s of ms,
-    # which single samples can't reject.
+    # timed window; differencing two step counts removes it. Min-of-3
+    # per window: the shared tunneled chip shows one-sided contention
+    # noise (a window occasionally stalls by 100s of ms), and min is
+    # the contention-free estimator. A non-positive slope after that is
+    # a measurement failure — re-measure once, then fail loudly rather
+    # than clamp (a 1e-9 clamp silently fabricates ~1e11 examples/s).
     k_lo = max(steps // 4, 2)
-    lo = min(run(k_lo) for _ in range(2))
-    hi = min(run(steps) for _ in range(2))
-    dt = max(hi - lo, 1e-9) / (steps - k_lo)
-    return batch / dt
+    for attempt in range(2):
+        lo = min(run(k_lo) for _ in range(3))
+        hi = min(run(steps) for _ in range(3))
+        if hi > lo:
+            return batch * (steps - k_lo) / (hi - lo)
+    raise RuntimeError(
+        f"non-positive slope (lo={lo:.4f}s hi={hi:.4f}s) after retry; "
+        f"timing is unusable for this config")
 
 
 def time_hft(ds, iters: int = 4) -> float:
@@ -135,10 +143,12 @@ def time_hft(ds, iters: int = 4) -> float:
     # slope timing with min-of-3 at each point: one EM iteration is tens
     # of ms, the same order as the tunnel round-trip jitter, so a single
     # (hi - lo) difference can go negative on noise
-    lo = min(run(1) for _ in range(3))
-    hi = min(run(iters) for _ in range(3))
-    dt = max(hi - lo, 1e-9)
-    return n_votes * (iters - 1) / dt
+    for attempt in range(2):
+        lo = min(run(1) for _ in range(3))
+        hi = min(run(iters) for _ in range(3))
+        if hi > lo:
+            return n_votes * (iters - 1) / (hi - lo)
+    raise RuntimeError("non-positive HFT slope after retry")
 
 
 def bench_torch_baseline() -> float:
@@ -201,10 +211,22 @@ def bench_torch_baseline() -> float:
 def flagship_mfu(eps: float) -> float:
     """MFU estimate for deepconn: two TextCNN convs dominate. Per
     example, fwd conv FLOPs = 2 towers * 2 * (T+W-1) * (W*E) * F; the
-    train step runs fwd + input-grad + weight-grad (~3x fwd)."""
+    train step runs fwd + weight-grad (the input-grad is compiled out —
+    the word table is frozen, textcnn_pool need_dx=False), ~2x fwd."""
     t_out = INPUT_LEN + 2
     conv = 2 * 2 * t_out * (3 * 64) * 100
-    return 3 * conv * eps / PEAK_BF16_FLOPS * 100.0
+    return 2 * conv * eps / PEAK_BF16_FLOPS * 100.0
+
+
+def flagship_bandwidth(eps: float) -> float:
+    """Modeled HBM GB/s for the default pallas flagship step (the op is
+    bandwidth-bound; this is the roofline companion to MFU). Per tower
+    per step, in units of B*T*E bytes: fwd = f32 gather write (4) +
+    pad/cast read (4) + bf16 write (2) + kernel read (2); bwd (dG only,
+    need_dx=False) = pad/cast read (4) + bf16 write (2) + kernel read
+    (2) => 20 * B*T*E bytes * 2 towers."""
+    bytes_per_example = 20 * INPUT_LEN * 64 * 2
+    return bytes_per_example * eps / 1e9
 
 
 def main():
@@ -213,7 +235,7 @@ def main():
     on_tpu = backend == "tpu"
     ds = _dataset()
     log(f"backend: {backend}; batch {BATCH}; input_length {INPUT_LEN}; "
-        f"sync-by-fetch timing")
+        f"sync-by-fetch slope timing, min-of-3 windows")
 
     rows = {}
     table = [("MF_dot", {}), ("NeuMF", {}), ("deepconn", {}),
@@ -221,63 +243,81 @@ def main():
     if on_tpu:
         table.insert(3, ("deepconn+pallas",
                          {"model_type": "deepconn", "use_pallas": True}))
+        table.insert(4, ("deepconn+pallas+fusedgather",
+                         {"model_type": "deepconn", "use_pallas": True,
+                          "fuse_gather": True}))
     for name, kw in table:
         mt = kw.get("model_type", name)
         try:
-            eps = time_sgd_model(ds, mt, use_pallas=kw.get("use_pallas",
-                                                           False))
+            eps = time_sgd_model(ds, mt,
+                                 use_pallas=kw.get("use_pallas", False),
+                                 fuse_gather=kw.get("fuse_gather", False))
             rows[name] = round(eps, 1)
-            log(f"{name:16s} {eps:12,.0f} examples/s")
+            log(f"{name:28s} {eps:12,.0f} examples/s")
         except Exception as exc:  # keep the suite alive per-model
             rows[name] = None
-            log(f"{name:16s} FAILED: {exc}")
+            log(f"{name:28s} FAILED: {exc}")
 
     try:
         hft_eps = time_hft(ds)
         rows["HFT"] = round(hft_eps, 1)
-        log(f"{'HFT':16s} {hft_eps:12,.0f} votes/s (full EM iteration)")
+        log(f"{'HFT':28s} {hft_eps:12,.0f} votes/s (full EM iteration)")
     except Exception as exc:
         rows["HFT"] = None
-        log(f"{'HFT':16s} FAILED: {exc}")
+        log(f"{'HFT':28s} FAILED: {exc}")
 
-    # flagship = the faster deepconn path, measured, not assumed
+    # flagship = the fastest deepconn path at the protocol batch; the
+    # HEADLINE is this number (matched protocol: same batch, same step
+    # count as the table and the torch baseline). The batch sweep is
+    # reported separately and never promoted to the headline.
     candidates = {k: v for k, v in rows.items()
                   if k.startswith("deepconn") and v}
     flag_key = max(candidates, key=candidates.get) if candidates \
         else "deepconn"
     flagship_eps = rows.get(flag_key) or 0.0
+    flag_pallas = "pallas" in flag_key
+    flag_fuse = "fusedgather" in flag_key
 
     sweep = {}
     for bsz in (128, 256, 512):
         try:
-            eps = time_sgd_model(ds, "deepconn",
-                                 use_pallas=(flag_key == "deepconn+pallas"),
-                                 batch=bsz, steps=20)
+            eps = time_sgd_model(ds, "deepconn", use_pallas=flag_pallas,
+                                 fuse_gather=flag_fuse, batch=bsz,
+                                 steps=STEPS)
             sweep[bsz] = round(eps, 1)
             log(f"flagship sweep B={bsz:4d}: {eps:12,.0f} examples/s")
         except Exception as exc:
             log(f"flagship sweep B={bsz}: FAILED {exc}")
 
-    # headline = best steady-state point of the winning path (the sweep
-    # shows the op pipeline saturates past B=256; report the knee, keep
-    # the per-model table at the fixed protocol batch)
-    headline_batch = BATCH
-    for bsz, eps in sweep.items():
-        if eps and eps > flagship_eps:
-            flagship_eps, headline_batch = eps, bsz
+    # protocol check: the sweep's B=256 point re-measures the headline
+    # config; disagreement beyond ~10% means the chip was noisy and the
+    # numbers should be read with that error bar
+    noise_pct = None
+    if sweep.get(BATCH) and flagship_eps:
+        noise_pct = round(abs(sweep[BATCH] - flagship_eps)
+                          / flagship_eps * 100.0, 1)
+        log(f"protocol agreement (table vs sweep at B={BATCH}): "
+            f"{noise_pct}% spread")
+        if noise_pct > 10:
+            log("WARNING: >10% spread between identical configs — "
+                "treat this run's numbers as +-{:.0f}%".format(noise_pct))
 
     mfu = round(flagship_mfu(flagship_eps), 2)
+    gbps = round(flagship_bandwidth(flagship_eps), 1)
     log(f"flagship ({flag_key}) MFU estimate: {mfu}% of "
-        f"{PEAK_BF16_FLOPS/1e12:.0f} TFLOP/s peak "
-        f"(conv fwd+bwd FLOPs only; the op is HBM-bound by design)")
+        f"{PEAK_BF16_FLOPS/1e12:.0f} TFLOP/s peak; modeled HBM traffic "
+        f"{gbps} GB/s vs ~820 GB/s v5e peak (the op is bandwidth-bound: "
+        f"the roofline, not the MXU, is the binding constraint)")
     if rows.get("deepconn") and rows.get("deepconn+pallas"):
         log(f"pallas speedup over XLA: "
             f"{rows['deepconn+pallas']/rows['deepconn']:.2f}x")
 
     try:
+        # matched batch: the torch baseline runs at BATCH, the headline
+        # is measured at BATCH — same protocol on both sides
         torch_eps = bench_torch_baseline()
         ratio = flagship_eps / torch_eps
-        log(f"torch-CPU baseline: {torch_eps:,.0f} examples/s")
+        log(f"torch-CPU baseline (B={BATCH}): {torch_eps:,.0f} examples/s")
     except Exception:
         ratio = 1.0
 
@@ -287,10 +327,13 @@ def main():
         "unit": "examples/s",
         "vs_baseline": round(ratio, 2),
         "flagship": flag_key,
-        "headline_batch": headline_batch,
+        "headline_batch": BATCH,
         "mfu_pct": mfu,
+        "modeled_hbm_gbps": gbps,
+        "noise_pct": noise_pct,
         "models": rows,
         "batch_sweep": sweep,
+        "sweep_best": max([v for v in sweep.values() if v], default=None),
     }))
 
 

@@ -138,6 +138,17 @@ class HyperParams:
     # numerics; the accumulator stays f32 either way.
     compute_dtype: str = "float32"
     use_pallas: bool = False                  # A/B switch for Pallas kernels
+    # With use_pallas: fuse the word-embedding gather into the TextCNN
+    # kernel's input (one gather emits the padded paired bf16 operand;
+    # the backward regathers only the winning taps). Measured on v5e
+    # this LOSES to the default path: the gather is row-bound (~4.5
+    # ns/row — bf16 rows cost the same as f32+fused-cast), so the fusion
+    # saves no time on the input side while its backward adds a
+    # scattered [B, F, W]-row tap regather that the paired dG matmul
+    # kernel beats. Kept as an A/B switch (bench.py measures both); the
+    # default path instead drops the dead dx computation entirely
+    # (textcnn_pool need_dx=False — the word table is frozen).
+    pallas_fuse_gather: bool = False
     # Gather strategy for the row-sharded user/item embedding tables of
     # the MF family (parallel/embedding.py; SURVEY.md §2.8 row 3):
     #   "gspmd" — plain jnp.take, XLA partitions the gather (default)

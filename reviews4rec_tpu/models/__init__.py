@@ -76,7 +76,8 @@ def build_model(hp: HyperParams, word_vectors=None, mesh=None):
             # it runs through the Pallas interpreter (numerics-identical,
             # slow) so `use_pallas=True` configs stay testable on CPU
             common.update(use_pallas=True,
-                          pallas_interpret=jax.default_backend() != "tpu")
+                          pallas_interpret=jax.default_backend() != "tpu",
+                          fuse_gather=hp.pallas_fuse_gather)
     if mt in ("deepconn", "deepconn++"):
         from .deepconn import DeepCoNN
         return DeepCoNN(latent_size=hp.latent_size, dropout=hp.dropout,

@@ -23,6 +23,7 @@ class DeepCoNN(nn.Module):
     use_fm: bool = True  # True = 'deepconn', False = 'deepconn++'
     use_pallas: bool = False       # fused conv+relu+maxpool kernel
     pallas_interpret: bool = False
+    fuse_gather: bool = True       # fold the word gather into the kernel
     compute_dtype: jnp.dtype = jnp.float32
     seq_mesh: object = None        # time-sharded TextCNN (hp.seq_parallel)
     seq_axis: str = "model"
@@ -36,16 +37,15 @@ class DeepCoNN(nn.Module):
 
         cnn = dict(use_pallas=self.use_pallas,
                    pallas_interpret=self.pallas_interpret,
+                   fuse_gather=self.fuse_gather,
                    compute_dtype=self.compute_dtype,
                    seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
                    seq_batch_axis=self.seq_batch_axis)
         wv = frozen_word_table(self, self.word_vectors)
-        u = jnp.take(wv, udoc, axis=0)  # [B, L, E]
-        i = jnp.take(wv, idoc, axis=0)
         u = TextCNN(self.latent_size, self.dropout, name="user_conv",
-                    **cnn)(u, train=train)
+                    **cnn)(udoc, train=train, table=wv)
         i = TextCNN(self.latent_size, self.dropout, name="item_conv",
-                    **cnn)(i, train=train)
+                    **cnn)(idoc, train=train, table=wv)
         cat = jnp.concatenate([u, i], axis=-1)
 
         gb = self.param("global_bias", nn.initializers.constant(4.0), (1,))

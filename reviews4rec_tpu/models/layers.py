@@ -61,6 +61,11 @@ class TextCNN(nn.Module):
     window: int = 3
     use_pallas: bool = False       # fused conv+relu+maxpool kernel
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
+    # with use_pallas and a `table` argument: fuse the word-embedding
+    # gather into the kernel's input (ops/textcnn_pallas.py
+    # textcnn_pool_embed) — one gather emits the padded paired bf16
+    # operand, and no doc-tensor gradient is ever materialized
+    fuse_gather: bool = True
     # conv operand dtype (hp.compute_dtype): bf16 halves the HBM
     # traffic of the conv inputs; accumulation stays f32
     compute_dtype: jnp.dtype = jnp.float32
@@ -73,15 +78,28 @@ class TextCNN(nn.Module):
     seq_batch_axis: Optional[str] = None  # DP axis of the batch dim
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        # x: [B, T, E] embedded words
-        b, t, e = x.shape
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 table: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # x: [B, T, E] embedded words, or int [B, T] token ids plus a
+        # `table` [V, E] to embed with (the fused-gather path)
         w = self.window
+        fused = (table is not None and self.use_pallas
+                 and self.fuse_gather and self.seq_mesh is None)
+        if table is not None and not fused:
+            x = jnp.take(table, x, axis=0)
+        b, t = x.shape[:2]
+        e = table.shape[1] if fused else x.shape[2]
         kernel = self.param("conv_kernel", xavier_uniform(),
                             (w * e, self.num_filters))
         bias = self.param("conv_bias", nn.initializers.zeros,
                           (self.num_filters,))
-        if self.seq_mesh is not None:
+        if fused:
+            from ..ops.textcnn_pallas import textcnn_pool_embed
+            dot_dtype = jnp.float32 if self.pallas_interpret \
+                else jnp.bfloat16
+            y = textcnn_pool_embed(x, table, kernel, bias, w,
+                                   self.pallas_interpret, dot_dtype)
+        elif self.seq_mesh is not None:
             from ..parallel.sequence import textcnn_pool_seq
             y = textcnn_pool_seq(x, kernel, bias, w, self.seq_mesh,
                                  self.seq_axis, self.seq_batch_axis)
@@ -93,8 +111,10 @@ class TextCNN(nn.Module):
             # mode (CPU tests) keeps true f32 to match the XLA branch.
             dot_dtype = jnp.float32 if self.pallas_interpret \
                 else jnp.bfloat16
+            # table-embedded inputs come from a FROZEN word table, so
+            # their cotangent is dead: compile the backward without dx
             y = textcnn_pool(x, kernel, bias, w, self.pallas_interpret,
-                             dot_dtype)
+                             dot_dtype, need_dx=(table is None))
         else:
             # torch Conv2d pads (window-1) on both ends -> T+w-1 outputs
             xp = jnp.pad(x.astype(self.compute_dtype),

@@ -27,6 +27,7 @@ class NARRE(nn.Module):
     dropout: float = 0.6
     use_pallas: bool = False       # fused conv+relu+maxpool kernel
     pallas_interpret: bool = False
+    fuse_gather: bool = True       # fold the word gather into the kernel
     compute_dtype: jnp.dtype = jnp.float32
     seq_mesh: object = None        # time-sharded TextCNN (hp.seq_parallel)
     seq_axis: str = "model"
@@ -60,16 +61,17 @@ class NARRE(nn.Module):
         # (NARRE.py:99-104), one TextCNN per side.
         cnn = dict(use_pallas=self.use_pallas,
                    pallas_interpret=self.pallas_interpret,
+                   fuse_gather=self.fuse_gather,
                    compute_dtype=self.compute_dtype,
                    seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
                    seq_batch_axis=self.seq_batch_axis)
         wv = frozen_word_table(self, self.word_vectors)
-        uw = jnp.take(wv, udoc.reshape(b * r, w), axis=0)
-        iw = jnp.take(wv, idoc.reshape(b * r, w), axis=0)
         uf = TextCNN(self.latent_size, self.dropout, name="user_conv",
-                     **cnn)(uw, train=train).reshape(b, r, -1)
+                     **cnn)(udoc.reshape(b * r, w), train=train,
+                            table=wv).reshape(b, r, -1)
         itf = TextCNN(self.latent_size, self.dropout, name="item_conv",
-                      **cnn)(iw, train=train).reshape(b, r, -1)
+                      **cnn)(idoc.reshape(b * r, w), train=train,
+                             table=wv).reshape(b, r, -1)
 
         # Review-level attention with neighbor ids as context
         # (NARRE.py:110-113): the user's reviews attend over the items

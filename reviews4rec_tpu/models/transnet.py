@@ -39,6 +39,7 @@ class TransNet(nn.Module):
     id_embed_size: int = 5  # TransNet.py:75-76
     use_pallas: bool = False       # fused conv+relu+maxpool kernel
     pallas_interpret: bool = False
+    fuse_gather: bool = True       # fold the word gather into the kernel
     compute_dtype: jnp.dtype = jnp.float32
     seq_mesh: object = None        # time-sharded TextCNN (hp.seq_parallel)
     seq_axis: str = "model"
@@ -61,19 +62,19 @@ class TransNet(nn.Module):
                                  lead).reshape(-1)
 
         wv = frozen_word_table(self, self.word_vectors)
-        emb = lambda doc: jnp.take(wv, doc, axis=0)
         drop = nn.Dropout(self.dropout, deterministic=not train)
         cnn = dict(use_pallas=self.use_pallas,
                    pallas_interpret=self.pallas_interpret,
+                   fuse_gather=self.fuse_gather,
                    compute_dtype=self.compute_dtype,
                    seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
                    seq_batch_axis=self.seq_batch_axis)
 
         # ---- source net ----
         u = TextCNN(self.latent_size, self.dropout, **cnn,
-                    name="source_user_conv")(emb(udoc), train=train)
+                    name="source_user_conv")(udoc, train=train, table=wv)
         i = TextCNN(self.latent_size, self.dropout, **cnn,
-                    name="source_item_conv")(emb(idoc), train=train)
+                    name="source_item_conv")(idoc, train=train, table=wv)
         cat = jnp.concatenate([u, i], axis=-1)
         ir = nn.Dense(self.latent_size, kernel_init=xavier_uniform(),
                       name="project_fc0")(cat)
@@ -84,7 +85,7 @@ class TransNet(nn.Module):
 
         # ---- target net ----
         t = TextCNN(self.latent_size, self.dropout, **cnn,
-                    name="target_conv")(emb(tdoc), train=train)
+                    name="target_conv")(tdoc, train=train, table=wv)
         target_ir = drop(t)
         target_out = FM(8, name="target_fm")(target_ir)
 

@@ -190,25 +190,33 @@ def _paired_kernel(x_ref, g_ref, b_ref, out_ref, idx_ref,
         idx_ref[:] = iacc_ref[:]
 
 
-def _forward_paired(x: jnp.ndarray, kernel: jnp.ndarray,
-                    bias: jnp.ndarray, window: int, interpret: bool,
-                    dot_dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    b, t, e = x.shape
-    f = kernel.shape[1]
+def _paired_geometry(b: int, t: int, window: int):
+    """Shared tiling of the paired layout (see _forward_paired)."""
     halo = window - 1
     t_out = t + halo
-    f_pad = max(-(-f // 128) * 128, 128)
     b_tile = min(b, 32)
     tp = 128                           # pair rows/chunk = 256 timesteps
-    carry_rows = 8
-
     bt_pad = -(-b // b_tile) * b_tile
     # chunk c covers starts [2(c*tp - 1), 2((c+1)*tp - 1)); chunk 0's
     # first two (negative) starts are masked, so cover t_out + 2
     n_chunks = -(-(t_out + 2) // (2 * tp))
     l_pad = 2 * n_chunks * tp          # total padded timesteps
-    xp = jnp.pad(x, ((0, bt_pad - b), (halo, l_pad - t - halo), (0, 0)))
-    xp = xp.reshape(bt_pad, n_chunks * tp, 2 * e).astype(dot_dtype)
+    return halo, t_out, b_tile, tp, bt_pad, n_chunks, l_pad
+
+
+def _paired_call(xp: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                 b: int, window: int, t_out: int, b_tile: int, tp: int,
+                 interpret: bool, dot_dtype
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the paired-layout kernel over a pre-padded pair-row operand
+    xp [bt_pad, n_chunks*tp, 2E] (already dot_dtype)."""
+    e = xp.shape[2] // 2
+    f = kernel.shape[1]
+    f_pad = max(-(-f // 128) * 128, 128)
+    bt_pad = xp.shape[0]
+    n_chunks = xp.shape[1] // tp
+    carry_rows = 8
+
     g = _build_g(kernel, window, e, f_pad).astype(dot_dtype)
     bp = jnp.pad(bias.reshape(1, f), ((0, 0), (0, f_pad - f)))
 
@@ -243,6 +251,18 @@ def _forward_paired(x: jnp.ndarray, kernel: jnp.ndarray,
         interpret=interpret,
     )(xp, g, bp)
     return out[:b, :f], idx[:b, :f]
+
+
+def _forward_paired(x: jnp.ndarray, kernel: jnp.ndarray,
+                    bias: jnp.ndarray, window: int, interpret: bool,
+                    dot_dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b, t, e = x.shape
+    halo, t_out, b_tile, tp, bt_pad, n_chunks, l_pad = \
+        _paired_geometry(b, t, window)
+    xp = jnp.pad(x, ((0, bt_pad - b), (halo, l_pad - t - halo), (0, 0)))
+    xp = xp.reshape(bt_pad, n_chunks * tp, 2 * e).astype(dot_dtype)
+    return _paired_call(xp, kernel, bias, b, window, t_out, b_tile, tp,
+                        interpret, dot_dtype)
 
 
 def _forward(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
@@ -383,6 +403,114 @@ def _paired_bwd_kernel(x_ref, g_ref, i_ref, gmat_ref, dx_ref, dg_ref,
         dg_ref[:] = dgacc_ref[:]
 
 
+def _paired_bwd_dg_kernel(x_ref, g_ref, i_ref, dg_ref,
+                          carry_ref, zw_ref, gm_ref, dgacc_ref, *,
+                          tp: int, dot_dtype):
+    """dkernel-only backward (need_dx=False): when the conv input is an
+    embedding of a FROZEN word table (every review tower here —
+    reference DeepCoNN.py:14-16), dx is dead code, so the dzw matmul,
+    its [B, T, E] f32 HBM write and the spill carry are all dropped;
+    only the dG accumulation remains."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_i = pl.num_programs(0)
+    n_c = pl.num_programs(1)
+
+    @pl.when(jnp.logical_and(i == 0, c == 0))
+    def _init_dg():
+        dgacc_ref[:] = jnp.zeros_like(dgacc_ref)
+
+    @pl.when(c == 0)
+    def _init_row():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    x = x_ref[:]                                   # [bt, tp, 2e]
+    bt, _, lanes = x.shape
+    f_pad = g_ref.shape[1]
+    cr = carry_ref.shape[1]
+
+    z = jnp.concatenate([carry_ref[:][:, cr - 1:, :], x], axis=1)
+    carry_ref[:] = x[:, tp - cr:, :]
+    zw_ref[:, :, :lanes] = z[:, :tp, :]
+    zw_ref[:, :, lanes:] = z[:, 1:tp + 1, :]
+
+    gv = g_ref[:]
+    iv = i_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bt, tp, 1), 1)
+    pos_e = 2 * (c * tp - 1 + rows)
+    gm_ref[:, :, :f_pad] = jnp.where(
+        pos_e == iv[:, None, :], gv[:, None, :], 0.0).astype(dot_dtype)
+    gm_ref[:, :, f_pad:] = jnp.where(
+        pos_e + 1 == iv[:, None, :], gv[:, None, :], 0.0).astype(dot_dtype)
+
+    dgacc_ref[:] = dgacc_ref[:] + jax.lax.dot_general(
+        zw_ref[:].reshape(bt * tp, 2 * lanes),
+        gm_ref[:].reshape(bt * tp, 2 * f_pad),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(i == n_i - 1, c == n_c - 1))
+    def _emit():
+        dg_ref[:] = dgacc_ref[:]
+
+
+def _backward_paired_dg_only(x, kernel, g, idx, window, interpret,
+                             dot_dtype):
+    """dkernel from the paired backward with the dx path compiled out."""
+    b, t, e = x.shape
+    f = kernel.shape[1]
+    halo = window - 1
+    t_out = t + halo
+    f_pad = max(-(-f // 128) * 128, 128)
+    b_tile = min(b, 32)
+    tp = 64
+    carry_rows = 8
+
+    bt_pad = -(-b // b_tile) * b_tile
+    n_chunks = -(-(t_out + 2) // (2 * tp))
+    l_pad = 2 * n_chunks * tp
+    xp = jnp.pad(x, ((0, bt_pad - b), (halo, l_pad - t - halo), (0, 0)))
+    xp = xp.reshape(bt_pad, n_chunks * tp, 2 * e).astype(dot_dtype)
+    gp = jnp.pad(g, ((0, bt_pad - b), (0, f_pad - f)))
+    ip = jnp.pad(idx, ((0, bt_pad - b), (0, f_pad - f)),
+                 constant_values=-1)
+
+    dg = pl.pallas_call(
+        functools.partial(_paired_bwd_dg_kernel, tp=tp,
+                          dot_dtype=dot_dtype),
+        grid=(bt_pad // b_tile, n_chunks),
+        in_specs=[
+            pl.BlockSpec((b_tile, tp, 2 * e), lambda i, c: (i, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, f_pad), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, f_pad), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4 * e, 2 * f_pad), lambda i, c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4 * e, 2 * f_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, carry_rows, 2 * e), dot_dtype),
+            pltpu.VMEM((b_tile, tp, 4 * e), dot_dtype),      # taps
+            pltpu.VMEM((b_tile, tp, 2 * f_pad), dot_dtype),  # gmask
+            pltpu.VMEM((4 * e, 2 * f_pad), jnp.float32),     # dG acc
+        ],
+        interpret=interpret,
+    )(xp, gp, ip)
+
+    dg4 = dg.reshape(2, 2, e, 2, f_pad)
+    dkernel = jnp.zeros((window * e, f), dg.dtype)
+    for d in (0, 1):
+        for h in (0, 1):
+            for phase in (0, 1):
+                w = 2 * d + h - phase
+                if 0 <= w < window:
+                    dkernel = dkernel.at[w * e:(w + 1) * e, :].add(
+                        dg4[d, h, :, phase, :f])
+    return dkernel
+
+
 def _backward_paired(x, kernel, g, idx, window, interpret, dot_dtype):
     """Paired-layout backward driver: (dx, dkernel) from the gated
     output cotangent g and the winning window starts idx."""
@@ -460,22 +588,26 @@ def _backward_paired(x, kernel, g, idx, window, interpret, dot_dtype):
     return dx, dkernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def textcnn_pool(x, kernel, bias, window: int = 3,
-                 interpret: bool = False, dot_dtype=jnp.float32):
+                 interpret: bool = False, dot_dtype=jnp.float32,
+                 need_dx: bool = True):
     """max_t relu(conv1d_(W-1)pad(x) @ kernel + bias): [B,T,E] -> [B,F].
     kernel: [W*E, F] (tap-major rows). `dot_dtype=bf16` runs the conv
-    matmul in bf16 (f32 accumulation) for the native MXU path."""
+    matmul in bf16 (f32 accumulation) for the native MXU path.
+    `need_dx=False` (the input embeds a FROZEN word table, so its
+    cotangent is dead) compiles the backward without the dx matmul and
+    its [B, T, E] f32 HBM write — the backward's dominant traffic."""
     out, _ = _forward(x, kernel, bias, window, interpret, dot_dtype)
     return out
 
 
-def _fwd(x, kernel, bias, window, interpret, dot_dtype):
+def _fwd(x, kernel, bias, window, interpret, dot_dtype, need_dx):
     out, idx = _forward(x, kernel, bias, window, interpret, dot_dtype)
     return out, (x, kernel, out, idx)
 
 
-def _bwd(window, interpret, dot_dtype, res, g):
+def _bwd(window, interpret, dot_dtype, need_dx, res, g):
     x, kernel, out, idx = res
     b, t, e = x.shape
     f = kernel.shape[1]
@@ -485,6 +617,12 @@ def _bwd(window, interpret, dot_dtype, res, g):
     if 2 * e == 128 and window <= 3:
         # paired Pallas backward (XLA's gather/scatter lowering of the
         # index form is pathologically slow on TPU)
+        if not need_dx:
+            dkernel = _backward_paired_dg_only(x, kernel, g, idx, window,
+                                               interpret, dot_dtype)
+            # symbolic zeros: consumed only by the frozen table's dead
+            # scatter, DCE'd with it
+            return jnp.zeros_like(x), dkernel, jnp.sum(g, axis=0)
         dx, dkernel = _backward_paired(x, kernel, g, idx, window,
                                        interpret, dot_dtype)
         return dx, dkernel, jnp.sum(g, axis=0)
@@ -498,6 +636,8 @@ def _bwd(window, interpret, dot_dtype, res, g):
 
     dkernel = jnp.einsum("bfwe,bf->wef", taps, g).reshape(window * e, f)
     dbias = jnp.sum(g, axis=0)
+    if not need_dx:
+        return jnp.zeros_like(x), dkernel, dbias
 
     kmat = kernel.reshape(window, e, f)
     contrib = jnp.einsum("bf,wef->bfwe", g, kmat)                # [B,F,W,E]
@@ -507,3 +647,93 @@ def _bwd(window, interpret, dot_dtype, res, g):
 
 
 textcnn_pool.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------
+# Fused gather + conv + relu + maxpool: the doc-embedding round trip is
+# the flagship's dominant HBM traffic (~4 full [B, T, E] passes per
+# tower: f32 gather write + read + bf16 cast write + kernel read). Here
+# ONE XLA gather — from a zero-row-padded table, with conv-padded ids —
+# emits the kernel's padded paired bf16 operand directly, and the
+# backward never materializes dx at all: the word table is frozen
+# (reference DeepCoNN.py:14-16), so only dkernel is needed, recovered by
+# regathering the W winning taps per (b, f) — [B, F, W, E] bytes, ~7%
+# of a full doc tensor at the reference geometry.
+# ---------------------------------------------------------------------
+
+def _embed_xp(ids: jnp.ndarray, table: jnp.ndarray, window: int,
+              dot_dtype):
+    """Padded paired-layout operand from one gather: row V of the
+    augmented table is the zero conv-pad token, ids are padded with V,
+    and the gather emits dot_dtype — the intermediate [B, T, E] f32 doc
+    tensor never touches HBM."""
+    b, t = ids.shape
+    v, e = table.shape
+    halo, t_out, b_tile, tp, bt_pad, n_chunks, l_pad = \
+        _paired_geometry(b, t, window)
+    tab = jnp.concatenate(
+        [table, jnp.zeros((1, e), table.dtype)]).astype(dot_dtype)
+    idsp = jnp.pad(ids, ((0, bt_pad - b), (halo, l_pad - t - halo)),
+                   constant_values=v)
+    xp = jnp.take(tab, idsp, axis=0).reshape(bt_pad, n_chunks * tp, 2 * e)
+    return xp, t_out, b_tile, tp
+
+
+def _forward_embed(ids, table, kernel, bias, window, interpret,
+                   dot_dtype):
+    b = ids.shape[0]
+    if 2 * table.shape[1] != 128 or window > 3:
+        # generic geometry: gather plain and reuse the un-paired kernel
+        x = jnp.take(table, ids, axis=0)
+        return _forward_generic(x, kernel, bias, window, interpret,
+                                dot_dtype)
+    xp, t_out, b_tile, tp = _embed_xp(ids, table, window, dot_dtype)
+    return _paired_call(xp, kernel, bias, b, window, t_out, b_tile, tp,
+                        interpret, dot_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def textcnn_pool_embed(ids, table, kernel, bias, window: int = 3,
+                       interpret: bool = False, dot_dtype=jnp.float32):
+    """max_t relu(conv1d_(W-1)pad(table[ids]) @ kernel + bias):
+    ids [B, T] int32, table [V, E] (FROZEN — its cotangent is zero by
+    construction), kernel [W*E, F] -> [B, F]."""
+    out, _ = _forward_embed(ids, table, kernel, bias, window, interpret,
+                            dot_dtype)
+    return out
+
+
+def _fwd_embed(ids, table, kernel, bias, window, interpret, dot_dtype):
+    out, idx = _forward_embed(ids, table, kernel, bias, window,
+                              interpret, dot_dtype)
+    return out, (ids, table, out, idx)
+
+
+def _bwd_embed(window, interpret, dot_dtype, res, g):
+    import numpy as np
+
+    ids, table, out, idx = res
+    b, t = ids.shape
+    v, e = table.shape
+    f = idx.shape[1]
+    halo = window - 1
+    # ReLU gate: a clamped-to-zero max contributes no gradient
+    g = jnp.where(out > 0, g, 0.0)
+
+    # regather only the winning taps: window start idx covers padded
+    # positions idx + w (same coordinates as the un-fused backward)
+    idsp = jnp.pad(ids, ((0, 0), (halo, halo)), constant_values=v)
+    tab = jnp.concatenate([table, jnp.zeros((1, e), table.dtype)])
+    tap_t = idx[:, :, None] + jnp.arange(window)[None, None, :]  # [B,F,W]
+    bidx = jnp.arange(b)[:, None, None]
+    taps = jnp.take(tab, idsp[bidx, tap_t], axis=0)              # [B,F,W,E]
+    dkernel = jnp.einsum("bfwe,bf->wef", taps.astype(jnp.float32),
+                         g).reshape(window * e, f)
+    dbias = jnp.sum(g, axis=0)
+    # ids are integral (float0 cotangent); the frozen table's zero
+    # cotangent is DCE'd behind the caller's stop_gradient
+    dids = np.zeros(ids.shape, dtype=jax.dtypes.float0)
+    return dids, jnp.zeros_like(table), dkernel, dbias
+
+
+textcnn_pool_embed.defvjp(_fwd_embed, _bwd_embed)

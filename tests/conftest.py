@@ -10,8 +10,15 @@ import os
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if os.environ.get("R4R_TEST_TPU") == "1":
+    # Hardware mode: run the TPU-gated subset on the real chip —
+    #   R4R_TEST_TPU=1 pytest tests/test_pallas.py -k tpu
+    # Only the Pallas parity tests are meaningful here; the mesh tests
+    # need the 8-virtual-device CPU default.
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

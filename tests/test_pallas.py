@@ -68,3 +68,152 @@ def test_textcnn_module_pallas_flag(dataset, hp_base):
     out_x = m_x.apply({"params": params}, x)
     out_p = m_p.apply({"params": params}, x)
     assert np.allclose(np.asarray(out_x), np.asarray(out_p), atol=1e-4)
+
+
+def test_fused_gather_matches_unfused_fwd_and_grads():
+    """textcnn_pool_embed (gather fused into the kernel input, frozen
+    table) must match textcnn_pool(take(table, ids)) in value and in
+    kernel/bias gradients, paired layout."""
+    from reviews4rec_tpu.ops.textcnn_pallas import (textcnn_pool,
+                                                    textcnn_pool_embed)
+
+    rng = np.random.default_rng(7)
+    v, e, f, b, t, w = 300, 64, 100, 4, 70, 3
+    table = jnp.asarray(rng.normal(size=(v, e)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, v, (b, t)).astype(np.int32))
+    kernel = jnp.asarray(rng.normal(size=(w * e, f)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+
+    x = jnp.take(table, ids, axis=0)
+    ref = textcnn_pool(x, kernel, bias, w, True)
+    got = textcnn_pool_embed(ids, table, kernel, bias, w, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_ref(k, bb):
+        return jnp.sum(textcnn_pool(x, k, bb, w, True) ** 2)
+
+    def loss_fused(k, bb):
+        return jnp.sum(textcnn_pool_embed(ids, table, k, bb, w, True) ** 2)
+
+    gk_ref, gb_ref = jax.grad(loss_ref, argnums=(0, 1))(kernel, bias)
+    gk, gb = jax.grad(loss_fused, argnums=(0, 1))(kernel, bias)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_gather_generic_layout():
+    """E != 64 falls back to the generic kernel geometry with the same
+    fused-gather API."""
+    from reviews4rec_tpu.ops.textcnn_pallas import (textcnn_pool,
+                                                    textcnn_pool_embed)
+
+    rng = np.random.default_rng(8)
+    v, e, f, b, t, w = 120, 16, 24, 3, 40, 3
+    table = jnp.asarray(rng.normal(size=(v, e)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, v, (b, t)).astype(np.int32))
+    kernel = jnp.asarray(rng.normal(size=(w * e, f)), jnp.float32)
+    bias = jnp.zeros((f,), jnp.float32)
+    ref = textcnn_pool(jnp.take(table, ids, axis=0), kernel, bias, w, True)
+    got = textcnn_pool_embed(ids, table, kernel, bias, w, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_deepconn_fuse_gather_matches_unfused(dataset, hp_base):
+    """Product path: deepconn with use_pallas trains identically with
+    the gather fused or unfused (interpret mode keeps f32 everywhere, so
+    the paths are numerically identical)."""
+    from reviews4rec_tpu.api import run
+
+    hp = hp_base.replace(model_type="deepconn", epochs=1, batch_size=16,
+                         use_pallas=True)
+    ref, _, _ = run(hp.replace(pallas_fuse_gather=False), dataset)
+    got, _, _ = run(hp.replace(pallas_fuse_gather=True), dataset)
+    assert got["MSE"] == ref["MSE"]
+    assert got["HR@1"] == ref["HR@1"]
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-TPU parity; run with R4R_TEST_TPU=1")
+def test_tpu_parity_production_shape():
+    """On-hardware parity at the production geometry (B=256, T=1000,
+    E=64, bf16 operands): compiled paired kernel and fused-gather kernel
+    vs the XLA windowed-matmul reference, forward and kernel/bias grads.
+    XLA's f32 conv runs single-pass bf16 on v5e, so tolerances cover
+    bf16 rounding only."""
+    from reviews4rec_tpu.ops.textcnn_pallas import (textcnn_pool,
+                                                    textcnn_pool_embed)
+
+    rng = np.random.default_rng(0)
+    v, e, f, b, t, w = 2000, 64, 100, 256, 1000, 3
+    table = jnp.asarray(rng.normal(size=(v, e)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, (b, t)).astype(np.int32))
+    kernel = jnp.asarray(
+        (rng.normal(size=(w * e, f)) / np.sqrt(w * e)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(f,)).astype(np.float32))
+    x = jnp.take(table, ids, axis=0)
+
+    # XLA reference (same math as models/layers.py TextCNN default path)
+    xp = jnp.pad(x, ((0, 0), (w - 1, w - 1), (0, 0)))
+    widx = jnp.arange(t + w - 1)[:, None] + jnp.arange(w)[None, :]
+    windows = xp[:, widx, :].reshape(b, t + w - 1, w * e)
+    ref = jnp.max(jax.nn.relu(
+        jax.lax.dot_general(windows, kernel,
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bias),
+        axis=1)
+
+    for name, out in [
+        ("paired", textcnn_pool(x, kernel, bias, w, False, jnp.bfloat16)),
+        ("fused", textcnn_pool_embed(ids, table, kernel, bias, w, False,
+                                     jnp.bfloat16)),
+    ]:
+        err = np.abs(np.asarray(out) - np.asarray(ref))
+        scale = np.abs(np.asarray(ref)).max()
+        assert err.max() / scale < 2e-2, (name, err.max(), scale)
+
+    # grads: fused vs unfused must agree bitwise-tight (identical math)
+    def loss_fused(k, bb):
+        return jnp.sum(textcnn_pool_embed(ids, table, k, bb, w, False,
+                                          jnp.bfloat16) ** 2)
+
+    def loss_pal(k, bb):
+        return jnp.sum(textcnn_pool(x, k, bb, w, False,
+                                    jnp.bfloat16) ** 2)
+
+    gk_f, gb_f = jax.grad(loss_fused, argnums=(0, 1))(kernel, bias)
+    gk_p, gb_p = jax.grad(loss_pal, argnums=(0, 1))(kernel, bias)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_p),
+                               rtol=1e-4, atol=1e-4)
+    kscale = np.abs(np.asarray(gk_p)).max()
+    assert np.abs(np.asarray(gk_f) - np.asarray(gk_p)).max() / kscale \
+        < 2e-2
+
+
+def test_need_dx_false_same_kernel_grads():
+    """need_dx=False (frozen-table inputs) must produce identical
+    kernel/bias gradients to the full backward, paired + generic."""
+    from reviews4rec_tpu.ops.textcnn_pallas import textcnn_pool
+
+    rng = np.random.default_rng(9)
+    for e, t in [(64, 70), (16, 40)]:
+        b, f, w = 4, 100, 3
+        x = jnp.asarray(rng.normal(size=(b, t, e)), jnp.float32)
+        kernel = jnp.asarray(rng.normal(size=(w * e, f)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+
+        def loss(k, bb, need_dx):
+            return jnp.sum(
+                textcnn_pool(x, k, bb, w, True, jnp.float32, need_dx) ** 2)
+
+        gk1, gb1 = jax.grad(lambda k, bb: loss(k, bb, True),
+                            argnums=(0, 1))(kernel, bias)
+        gk0, gb0 = jax.grad(lambda k, bb: loss(k, bb, False),
+                            argnums=(0, 1))(kernel, bias)
+        np.testing.assert_allclose(np.asarray(gk0), np.asarray(gk1),
+                                   rtol=1e-5, atol=1e-5), e
+        np.testing.assert_allclose(np.asarray(gb0), np.asarray(gb1),
+                                   rtol=1e-6, atol=1e-6)
