@@ -81,6 +81,19 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     hp = hp_from_args(args)
 
+    # Honor JAX_PLATFORMS even where a sitecustomize force-registers a
+    # platform after env parsing (this image's axon TPU shim does):
+    # re-assert the choice through the config before backend init, so
+    # `JAX_PLATFORMS=cpu python -m reviews4rec_tpu ...` really runs on
+    # CPU.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        try:
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass  # backend already initialized; keep its choice
+
     # Bring up the cross-host runtime BEFORE any JAX call (the .api
     # import initializes the backend). No-op without --coordinator /
     # env vars (parallel/distributed.py).
