@@ -8,8 +8,13 @@ Prints a human-readable table to STDERR and ONE JSON line to STDOUT:
 Timing methodology (matters on this tunneled TPU): `block_until_ready`
 through the axon tunnel returns without waiting, so every measurement
 here synchronizes by FETCHING a scalar that depends on the timed
-computation. Warmup also fetches, so remote compiles land outside the
-timed region.
+computation; warmup also fetches, so remote compiles land outside the
+timed region. All configs are compiled first and then measured with
+INTERLEAVED rounds (slope_interleaved): the shared chip shows
+session-scale drift (identical configs measured minutes apart differ
+up to ~60%), so sequential per-config timing would let drift
+masquerade as config differences. The headline carries its own round
+spread as an error bar (noise_pct).
 
 `vs_baseline` is the speedup over a faithful torch (CPU) implementation
 of the flagship on this host — the reference's own stack is torch-based
@@ -44,10 +49,10 @@ def _dataset():
                           interactions_per_user=(10, 20), seed=0)
 
 
-def time_sgd_model(ds, model_type: str, use_pallas: bool = False,
-                   batch: int = BATCH, steps: int = STEPS,
-                   fuse_gather: bool = False) -> float:
-    """Steady-state examples/s of the jitted train step."""
+def setup_sgd_model(ds, model_type: str, use_pallas: bool = False,
+                    batch: int = BATCH, fuse_gather: bool = False):
+    """Build + compile one jitted train step; returns run(k) that
+    executes k steps and syncs by fetching the last loss."""
     import jax
     import jax.numpy as jnp
 
@@ -74,31 +79,61 @@ def time_sgd_model(ds, model_type: str, use_pallas: bool = False,
 
     state, m = step(state, b, rng)
     float(m["loss"])                       # compile + real execution
+    holder = {"state": state}
 
     def run(k: int) -> float:
-        nonlocal state
+        s = holder["state"]
         t0 = time.perf_counter()
         for i in range(k):
-            state, mm = step(state, b, jax.random.fold_in(rng, i))
+            s, mm = step(s, b, jax.random.fold_in(rng, i))
         float(mm["loss"])                  # fetch = the only real sync
+        holder["state"] = s
         return time.perf_counter() - t0
 
-    # slope timing: one tunnel round-trip (~23 ms) sits inside every
-    # timed window; differencing two step counts removes it. Min-of-3
-    # per window: the shared tunneled chip shows one-sided contention
-    # noise (a window occasionally stalls by 100s of ms), and min is
-    # the contention-free estimator. A non-positive slope after that is
-    # a measurement failure — re-measure once, then fail loudly rather
-    # than clamp (a 1e-9 clamp silently fabricates ~1e11 examples/s).
+    return run
+
+
+def slope_interleaved(runs, steps: int = STEPS, rounds: int = 3):
+    """Slope-time many configs with INTERLEAVED windows.
+
+    Two noise sources on this tunneled shared chip: (a) a ~23 ms
+    round-trip inside every window — removed by differencing two step
+    counts (the slope); (b) session-scale drift and one-sided contention
+    stalls — sequential per-config measurement lets drift masquerade as
+    config differences (observed 74k vs 122k examples/s for identical
+    code minutes apart), so every round measures every config
+    back-to-back and the final value is the min (= contention-free)
+    slope across rounds. A config whose every round has a non-positive
+    slope fails loudly rather than clamping (a 1e-9 clamp would
+    fabricate ~1e11 examples/s).
+
+    Returns ({name: seconds_per_step}, {name: spread_fraction})."""
     k_lo = max(steps // 4, 2)
-    for attempt in range(2):
-        lo = min(run(k_lo) for _ in range(3))
-        hi = min(run(steps) for _ in range(3))
-        if hi > lo:
-            return batch * (steps - k_lo) / (hi - lo)
-    raise RuntimeError(
-        f"non-positive slope (lo={lo:.4f}s hi={hi:.4f}s) after retry; "
-        f"timing is unusable for this config")
+    slopes = {name: [] for name in runs}
+    for _ in range(rounds):
+        for name, run in runs.items():
+            lo = run(k_lo)
+            hi = run(steps)
+            slopes[name].append((hi - lo) / (steps - k_lo))
+    out, spread = {}, {}
+    for name, ss in slopes.items():
+        good = sorted(s for s in ss if s > 0)
+        if not good:
+            raise RuntimeError(
+                f"{name}: non-positive slope in every round ({ss}); "
+                f"timing is unusable")
+        out[name] = good[0]
+        spread[name] = (good[-1] - good[0]) / good[0]
+    return out, spread
+
+
+def time_sgd_model(ds, model_type: str, use_pallas: bool = False,
+                   batch: int = BATCH, steps: int = STEPS,
+                   fuse_gather: bool = False) -> float:
+    """Steady-state examples/s of one config (self-interleaved)."""
+    run = setup_sgd_model(ds, model_type, use_pallas, batch, fuse_gather)
+    slopes, _ = slope_interleaved({"m": run}, steps)
+    return batch / slopes["m"]
 
 
 def time_hft(ds, iters: int = 4) -> float:
@@ -246,17 +281,45 @@ def main():
         table.insert(4, ("deepconn+pallas+fusedgather",
                          {"model_type": "deepconn", "use_pallas": True,
                           "fuse_gather": True}))
+
+    # compile every config first, then measure with interleaved rounds
+    # so session drift cannot masquerade as config differences
+    configs = {}
     for name, kw in table:
-        mt = kw.get("model_type", name)
+        configs[name] = dict(model_type=kw.get("model_type", name),
+                             use_pallas=kw.get("use_pallas", False),
+                             fuse_gather=kw.get("fuse_gather", False),
+                             batch=BATCH)
+    sweep_cfgs = {}
+    for bsz in (128, 512):
+        sweep_cfgs[f"deepconn@B{bsz}"] = dict(
+            model_type="deepconn", use_pallas=False, fuse_gather=False,
+            batch=bsz)
+
+    runs, batches = {}, {}
+    for name, cfg in {**configs, **sweep_cfgs}.items():
         try:
-            eps = time_sgd_model(ds, mt,
-                                 use_pallas=kw.get("use_pallas", False),
-                                 fuse_gather=kw.get("fuse_gather", False))
-            rows[name] = round(eps, 1)
-            log(f"{name:28s} {eps:12,.0f} examples/s")
-        except Exception as exc:  # keep the suite alive per-model
+            runs[name] = setup_sgd_model(ds, cfg["model_type"],
+                                         cfg["use_pallas"], cfg["batch"],
+                                         cfg["fuse_gather"])
+            batches[name] = cfg["batch"]
+            log(f"compiled {name}")
+        except Exception as exc:
             rows[name] = None
-            log(f"{name:28s} FAILED: {exc}")
+            log(f"{name:28s} COMPILE FAILED: {exc}")
+
+    try:
+        slopes, spread = slope_interleaved(runs, STEPS)
+    except RuntimeError as exc:
+        log(f"timing failed: {exc}")
+        slopes, spread = {}, {}
+    max_spread = 0.0
+    for name in slopes:
+        eps = batches[name] / slopes[name]
+        rows[name] = round(eps, 1)
+        max_spread = max(max_spread, spread[name])
+        log(f"{name:28s} {eps:12,.0f} examples/s "
+            f"(round spread {spread[name] * 100:.0f}%)")
 
     try:
         hft_eps = time_hft(ds)
@@ -268,42 +331,29 @@ def main():
 
     # flagship = the fastest deepconn path at the protocol batch; the
     # HEADLINE is this number (matched protocol: same batch, same step
-    # count as the table and the torch baseline). The batch sweep is
-    # reported separately and never promoted to the headline.
+    # count, same interleaved rounds as the torch-anchored table). The
+    # batch sweep is reported separately, never promoted.
     candidates = {k: v for k, v in rows.items()
-                  if k.startswith("deepconn") and v}
+                  if k.startswith("deepconn") and "@" not in k and v}
     flag_key = max(candidates, key=candidates.get) if candidates \
         else "deepconn"
     flagship_eps = rows.get(flag_key) or 0.0
-    flag_pallas = "pallas" in flag_key
-    flag_fuse = "fusedgather" in flag_key
 
-    sweep = {}
-    for bsz in (128, 256, 512):
-        try:
-            eps = time_sgd_model(ds, "deepconn", use_pallas=flag_pallas,
-                                 fuse_gather=flag_fuse, batch=bsz,
-                                 steps=STEPS)
-            sweep[bsz] = round(eps, 1)
-            log(f"flagship sweep B={bsz:4d}: {eps:12,.0f} examples/s")
-        except Exception as exc:
-            log(f"flagship sweep B={bsz}: FAILED {exc}")
+    flag_spread = round(spread.get(flag_key, 0.0) * 100.0, 1)
 
-    # protocol check: the sweep's B=256 point re-measures the headline
-    # config; disagreement beyond ~10% means the chip was noisy and the
-    # numbers should be read with that error bar
-    noise_pct = None
-    if sweep.get(BATCH) and flagship_eps:
-        noise_pct = round(abs(sweep[BATCH] - flagship_eps)
-                          / flagship_eps * 100.0, 1)
-        log(f"protocol agreement (table vs sweep at B={BATCH}): "
-            f"{noise_pct}% spread")
-        if noise_pct > 10:
-            log("WARNING: >10% spread between identical configs — "
-                "treat this run's numbers as +-{:.0f}%".format(noise_pct))
+    sweep = {256: rows.get("deepconn")}
+    for bsz in (128, 512):
+        sweep[bsz] = rows.pop(f"deepconn@B{bsz}", None)
+    for bsz in sorted(k for k in sweep if sweep[k]):
+        log(f"flagship sweep B={bsz:4d}: {sweep[bsz]:12,.0f} examples/s")
+    # the headline's own error bar (its round spread); sub-ms configs
+    # like MF_dot can show huge relative spread without affecting it
+    noise_pct = flag_spread
 
     mfu = round(flagship_mfu(flagship_eps), 2)
     gbps = round(flagship_bandwidth(flagship_eps), 1)
+    log(f"max round spread across configs: {noise_pct}% (windows are "
+        f"interleaved; treat cross-config deltas below this as noise)")
     log(f"flagship ({flag_key}) MFU estimate: {mfu}% of "
         f"{PEAK_BF16_FLOPS/1e12:.0f} TFLOP/s peak; modeled HBM traffic "
         f"{gbps} GB/s vs ~820 GB/s v5e peak (the op is bandwidth-bound: "
@@ -332,7 +382,7 @@ def main():
         "modeled_hbm_gbps": gbps,
         "noise_pct": noise_pct,
         "models": rows,
-        "batch_sweep": sweep,
+        "batch_sweep": {str(k): v for k, v in sorted(sweep.items())},
         "sweep_best": max([v for v in sweep.values() if v], default=None),
     }))
 
