@@ -120,6 +120,9 @@ def main():
     env = dict(os.environ)
     if args.cpu:
         env["JAX_PLATFORMS"] = "cpu"
+    # preprocessing is host-side (tokenize/k-core) + the jax SGNS; the
+    # CPU backend avoids paying the tunneled-TPU warmup for it
+    prep_env = {**env, "JAX_PLATFORMS": "cpu"}
 
     dump = os.path.join(REPO, "data", "e2e_raw.json")
     os.makedirs(os.path.dirname(dump), exist_ok=True)
@@ -128,7 +131,7 @@ def main():
     t0 = time.time()
     run_cli([sys.executable, "-m", "reviews4rec_tpu.data.preprocess",
              "e2e", dump, "--k-core", "5",
-             "--w2v-epochs", str(args.w2v_epochs)], env=env)
+             "--w2v-epochs", str(args.w2v_epochs)], env=prep_env)
     prep_s = time.time() - t0
     print(f"preprocess: {prep_s:.0f}s")
 

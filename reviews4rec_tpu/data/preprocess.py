@@ -132,26 +132,134 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def _train_sgns_jax(centers_a: np.ndarray, contexts_a: np.ndarray,
+                    probs: np.ndarray, vec_in0: np.ndarray,
+                    dim: int, epochs: int, negatives: int, lr: float,
+                    seed: int) -> np.ndarray:
+    """On-device SGNS: the same mini-batch updates as the numpy path
+    (scatter-adds applied per batch), run as a `lax.scan` over batches —
+    one jit per epoch. Negatives are drawn by inverse-CDF search against
+    the unigram^0.75 table (a categorical over the 50k vocab would
+    materialize a [batch, negs, V] gumbel). Deterministic under the jax
+    PRNG; not bitwise the numpy path (different RNG streams)."""
+    import jax
+    import jax.numpy as jnp
+
+    V = vec_in0.shape[0]
+    n = len(centers_a)
+    # adaptive batch: guarantee >= 64 updates/epoch on small corpora
+    # (batched scatter-mean updates learn per-BATCH, not per-pair)
+    bs = int(np.clip(n // 64, 256, 4096))
+    n_batches = -(-n // bs)
+    pad = n_batches * bs - n
+    centers = jnp.asarray(
+        np.concatenate([centers_a, np.zeros(pad)]).astype(np.int32))
+    contexts = jnp.asarray(
+        np.concatenate([contexts_a, np.zeros(pad)]).astype(np.int32))
+    weight = jnp.asarray(
+        (np.arange(n_batches * bs) < n).astype(np.float32))
+    cdf = jnp.asarray(np.cumsum(probs).astype(np.float32))
+
+    total_steps = max(epochs, 1) * n_batches
+
+    @jax.jit
+    def run_epoch(vin, vout, key, epoch_idx, centers, contexts, weight,
+                  cdf):
+        key, pk, nk = jax.random.split(key, 3)
+        order = jax.random.permutation(pk, centers.shape[0])
+
+        def body(state, i):
+            vin, vout = state
+            # linear lr decay over the whole run (gensim alpha ->
+            # min_alpha schedule)
+            step = epoch_idx * n_batches + i
+            lr_t = jnp.maximum(lr * (1.0 - step / total_steps), 1e-4)
+            sel = jax.lax.dynamic_slice(order, (i * bs,), (bs,))
+            c = centers[sel]
+            pos = contexts[sel]
+            w = weight[sel]
+            u = jax.random.uniform(jax.random.fold_in(nk, i),
+                                   (bs, negatives))
+            neg = jnp.clip(jnp.searchsorted(cdf, u, side="right"),
+                           0, V - 1).astype(jnp.int32)
+            targets = jnp.concatenate([pos[:, None], neg], 1)
+            vi = vin[c]                                   # [b, d]
+            vo = vout[targets]                            # [b, 1+k, d]
+            score = jnp.einsum("bd,bkd->bk", vi, vo)
+            label = jnp.zeros_like(score).at[:, 0].set(1.0)
+            g = (jax.nn.sigmoid(score) - label) * lr_t * w[:, None]
+            gi = jnp.einsum("bk,bkd->bd", g, vo)
+            go = g[..., None] * vi[:, None, :]
+            # scatter-MEAN over in-batch duplicates: summing overshoots
+            # by the row's multiplicity and diverges on small vocabs
+            # (multiplicity ~1 at real vocab scale, so this matches the
+            # plain accumulate there)
+            tflat = targets.reshape(-1)
+            ci = jnp.zeros((V,)).at[c].add(1.0)
+            co = jnp.zeros((V,)).at[tflat].add(1.0)
+            vin = vin - jnp.zeros_like(vin).at[c].add(gi) \
+                / jnp.maximum(ci, 1.0)[:, None]
+            vout = vout - jnp.zeros_like(vout).at[tflat].add(
+                go.reshape(-1, dim)) / jnp.maximum(co, 1.0)[:, None]
+            return (vin, vout), None
+
+        (vin, vout), _ = jax.lax.scan(body, (vin, vout),
+                                      jnp.arange(n_batches))
+        return vin, vout, key
+
+    vin = jnp.asarray(vec_in0)
+    vout = jnp.zeros_like(vin)
+    key = jax.random.PRNGKey(seed)
+    for ep in range(max(epochs, 1)):
+        vin, vout, key = run_epoch(vin, vout, key, jnp.asarray(ep),
+                                   centers, contexts, weight, cdf)
+    return np.array(vin, np.float32)  # writable copy
+
+
 def train_word2vec(token_lists: Sequence[np.ndarray], num_words: int,
                    dim: int = 64, epochs: int = 20, window: int = 1,
                    negatives: int = 64, lr: float = 0.05,
-                   seed: int = 0) -> np.ndarray:
+                   seed: int = 0, backend: str = "auto",
+                   sample: float = 1e-3) -> np.ndarray:
     """SGNS over word-id sequences; returns [num_words + 1, dim] with
     row 0 (UNK/pad) zeroed. Defaults match the reference's gensim call
     Word2Vec(size=64, sg=1, window=1, negative=64, iter=20)
-    (preprocess_random_split.py:245). Mini-batched numpy (the corpus
-    scale of this task is host-side tiny; on-device embedding training
-    is the models' job, not the preprocessor's)."""
+    (preprocess_random_split.py:245). Backends: "numpy" (mini-batched
+    host loop, default for small corpora — deterministic across
+    machines), "jax" (on-device lax.scan, the TPU path for real
+    corpora), "auto" = jax once the pair count makes the host loop the
+    preprocessing bottleneck."""
     rng = np.random.default_rng(seed)
     V = num_words + 1
     vec_in = (rng.random((V, dim), np.float32) - 0.5) / dim
     vec_out = np.zeros((V, dim), np.float32)
+
+    # frequent-word subsampling (gensim default sample=1e-3, which the
+    # reference's Word2Vec call leaves ON): p_keep = (sqrt(f/s)+1)*s/f.
+    # Besides fidelity, this caps in-batch duplicate multiplicity so the
+    # batched scatter updates stay close to sequential SGD.
+    if sample and sample > 0:
+        total = sum(int(np.count_nonzero(np.asarray(t))) 
+                    for t in token_lists) or 1
+        cnt = np.zeros(V, np.int64)
+        for t in token_lists:
+            a = np.asarray(t, np.int64)
+            cnt += np.bincount(a[a > 0], minlength=V)
+        f = cnt / total
+        with np.errstate(divide="ignore", invalid="ignore"):
+            keep = (np.sqrt(f / sample) + 1.0) * (sample / np.maximum(f, 1e-12))
+        keep = np.clip(np.nan_to_num(keep, nan=1.0), 0.0, 1.0)
+        keep[0] = 0.0
+    else:
+        keep = np.ones(V)
 
     centers: List[np.ndarray] = []
     contexts: List[np.ndarray] = []
     for toks in token_lists:
         t = np.asarray(toks, np.int64)
         t = t[t > 0]
+        if sample and sample > 0 and len(t):
+            t = t[rng.random(len(t)) < keep[t]]
         for off in range(1, window + 1):
             if len(t) > off:
                 centers.append(t[:-off])
@@ -172,10 +280,20 @@ def train_word2vec(token_lists: Sequence[np.ndarray], num_words: int,
     probs /= probs.sum()
 
     n = len(centers_a)
-    bs = 4096
+    if backend == "jax" or (backend == "auto" and n >= 500_000):
+        vecs = _train_sgns_jax(centers_a, contexts_a, probs, vec_in,
+                               dim, epochs, negatives, lr, seed)
+        vecs[0] = 0.0
+        return vecs
+
+    bs = int(np.clip(n // 64, 256, 4096))
+    total_steps = max(epochs, 1) * (-(-n // bs))
+    step = 0
     for _ in range(max(epochs, 1)):
         order = rng.permutation(n)
         for s in range(0, n, bs):
+            lr_t = max(lr * (1.0 - step / total_steps), 1e-4)
+            step += 1
             sel = order[s:s + bs]
             c = centers_a[sel]
             pos = contexts_a[sel]
@@ -186,12 +304,19 @@ def train_word2vec(token_lists: Sequence[np.ndarray], num_words: int,
             score = np.einsum("bd,bkd->bk", vi, vo)
             label = np.zeros_like(score)
             label[:, 0] = 1.0
-            g = (_sigmoid(score) - label) * lr               # [b, 1+k]
+            g = (_sigmoid(score) - label) * lr_t             # [b, 1+k]
             gi = np.einsum("bk,bkd->bd", g, vo)
             go = g[..., None] * vi[:, None, :]
-            np.add.at(vec_in, c, -gi)
-            np.add.at(vec_out, targets.reshape(-1),
-                      -go.reshape(-1, dim))
+            # scatter-MEAN over in-batch duplicates (see jax path)
+            tflat = targets.reshape(-1)
+            upd_i = np.zeros_like(vec_in)
+            np.add.at(upd_i, c, gi)
+            ci = np.bincount(c, minlength=V)[:, None]
+            vec_in -= upd_i / np.maximum(ci, 1)
+            upd_o = np.zeros_like(vec_out)
+            np.add.at(upd_o, tflat, go.reshape(-1, dim))
+            co = np.bincount(tflat, minlength=V)[:, None]
+            vec_out -= upd_o / np.maximum(co, 1)
     vecs = vec_in.astype(np.float32)
     vecs[0] = 0.0
     return vecs
@@ -230,6 +355,7 @@ def build_negatives(test: Split, num_negs: int = 5, seed: int = 0
 def preprocess(recs: Sequence[Dict], k_core: int = 5,
                percent_reviews_to_keep: int = 100,
                vocab_cap: int = 50000, w2v_epochs: int = 20,
+               w2v_backend: str = "auto",
                seed: int = 0, verbose=print) -> ReviewDataset:
     """Full offline pipeline; see module docstring."""
     rng = np.random.default_rng(seed)
@@ -292,7 +418,8 @@ def preprocess(recs: Sequence[Dict], k_core: int = 5,
                     for s in ("test", "val") for j in idx[s]}
 
     word_vectors = train_word2vec(train_texts, num_words,
-                                  epochs=w2v_epochs, seed=seed)
+                                  epochs=w2v_epochs, seed=seed,
+                                  backend=w2v_backend)
     neg_users, neg_cands = build_negatives(splits["test"], seed=seed)
     verbose(f"split sizes train/test/val = {len(splits['train'])}/"
             f"{len(splits['test'])}/{len(splits['val'])}; "
@@ -322,14 +449,29 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="percent of train review text to keep")
     p.add_argument("--out", default="data", help="output data root")
     p.add_argument("--w2v-epochs", type=int, default=20)
+    p.add_argument("--w2v-backend", choices=("auto", "numpy", "jax"),
+                   default="auto",
+                   help="SGNS backend: numpy host loop or on-device "
+                        "lax.scan; auto picks jax for large corpora")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+
+    # honor JAX_PLATFORMS under sitecustomize-forced platforms (same
+    # rationale as the training CLI)
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            import jax
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
 
     fmt = args.format or ("ratebeer" if args.name == "ratebeer" else "amazon")
     loader = load_ratebeer if fmt == "ratebeer" else load_amazon_json
     ds = preprocess(loader(args.raw), k_core=args.k_core,
                     percent_reviews_to_keep=args.percent,
-                    w2v_epochs=args.w2v_epochs, seed=args.seed)
+                    w2v_epochs=args.w2v_epochs, seed=args.seed,
+                    w2v_backend=args.w2v_backend)
     out = os.path.join(args.out, args.name, f"{args.k_core}_core")
     if args.percent != 100:
         out = os.path.join(out, f"{args.percent}_percent")

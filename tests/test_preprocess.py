@@ -198,3 +198,35 @@ def test_ratebeer_rating_scale_flows_to_runtime():
     m, _, _ = run(HyperParams(model_type="bias_only", epochs=1,
                               dataset="ratebeer"), ds)
     assert "MSE" in m
+
+
+def test_sgns_jax_backend_learns_signal():
+    """The on-device SGNS (train_word2vec backend='jax') must learn the
+    same co-occurrence signal as the numpy path: words that co-occur
+    (consecutive ids in the same sequences) end up more similar than
+    words that never do."""
+    from reviews4rec_tpu.data.preprocess import train_word2vec
+
+    rng = np.random.default_rng(0)
+    # two disjoint word communities; sequences stay inside one community
+    k = 100
+    seqs = []
+    for _ in range(400):
+        com = rng.integers(0, 2)
+        base = 1 + com * k
+        seqs.append(base + rng.integers(0, k, size=30))
+    vecs = train_word2vec(seqs, num_words=2 * k, epochs=20,
+                          backend="jax", seed=0)
+    assert vecs.shape == (2 * k + 1, 64)
+    assert np.all(vecs[0] == 0.0)
+    assert np.isfinite(vecs).all()
+
+    # centered cosine: SGNS with many negatives grows a large shared
+    # direction; the co-occurrence signal lives in the residual
+    v = vecs[1:]
+    vc = v - v.mean(0)
+    nv = vc / (np.linalg.norm(vc, axis=1, keepdims=True) + 1e-9)
+    sim = nv @ nv.T
+    within = (sim[:k, :k].mean() + sim[k:, k:].mean()) / 2
+    across = sim[:k, k:].mean()
+    assert within > across + 0.1, (within, across)
