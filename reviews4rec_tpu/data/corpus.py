@@ -410,15 +410,123 @@ class ReviewDataset:
              "rating": sp.rating.astype(np.float32)},
             flat_inputs, lead=(n,))
 
+    # user-side vs item-side halves of the text record set: in candidate
+    # grids the user side is IDENTICAL across the C candidates (no
+    # test-time leakage removal; train-negs removes the same review in
+    # every column), so it is materialized once per row at lead [.., 1]
+    # and broadcast inside the models — C x less user-tower compute and
+    # ~45% smaller grids.
+    _USER_SIDE = ("user_doc", "items_reviewed")
+    _ITEM_SIDE = ("item_doc", "this_doc", "users_who_gave")
+
+    def _grid_text_records(self, hp, user_rows, item_flat, ui_flat,
+                           iu_flat, this_flat, m, c):
+        """Doc/neighbor tensors for an [m, c] candidate grid: user side
+        computed once per row ([m, 1, ...]), item side per candidate
+        ([m, c, ...])."""
+        dummy_u = np.zeros(m * c, np.int32)
+        dummy_i = np.zeros(m, np.int32)
+        neg1_m = np.full(m, -1, np.int32)
+        uside = self._text_records(hp, user_rows, dummy_i,
+                                   ui_flat[::c].copy(), neg1_m, neg1_m)
+        iside = self._text_records(hp, dummy_u, item_flat,
+                                   np.full(m * c, -1, np.int32), iu_flat,
+                                   this_flat)
+        out = {}
+        for k in self._USER_SIDE:
+            v = uside[k]
+            out[k] = v.reshape((m, 1) + v.shape[1:])
+        for k in self._ITEM_SIDE:
+            v = iside[k]
+            out[k] = v.reshape((m, c) + v.shape[1:])
+        return out
+
+    def _disk_grid_store(self, hp, tag, id_arrays, user_rows, item_flat,
+                         ui_flat, iu_flat, this_flat, m, c
+                         ) -> Dict[str, np.ndarray]:
+        """Out-of-core candidate-grid store: user-side tensors at lead
+        (m, 1), item-side at (m, c), both assembled chunk-wise (peak RAM
+        = one chunk)."""
+        import json
+
+        rows, words = _doc_layout(hp)
+        root = os.path.join(hp.data_dir(), "records")
+        d = os.path.join(root, tag)
+        manifest = os.path.join(d, "manifest.json")
+
+        def open_store() -> Dict[str, np.ndarray]:
+            with open(manifest) as fh:
+                names = json.load(fh)["arrays"]
+            return {k: np.load(os.path.join(d, k + ".npy"), mmap_mode="r")
+                    for k in names}
+
+        if os.path.exists(manifest):
+            return open_store()
+
+        os.makedirs(d, exist_ok=True)
+        doc_tail = (rows, words) if rows > 1 else (words,)
+        tails = {"user_doc": doc_tail, "item_doc": doc_tail,
+                 "this_doc": doc_tail,
+                 "users_who_gave": (NEIGHBOR_SLOTS,),
+                 "items_reviewed": (NEIGHBOR_SLOTS,)}
+        spec = {k: (v.shape, v.dtype) for k, v in id_arrays.items()}
+        for k in self._USER_SIDE:
+            spec[k] = ((m, 1) + tails[k], np.int32)
+        for k in self._ITEM_SIDE:
+            spec[k] = ((m, c) + tails[k], np.int32)
+        mm = {k: np.lib.format.open_memmap(
+                  os.path.join(d, k + ".npy"), mode="w+", dtype=dt,
+                  shape=shape)
+              for k, (shape, dt) in spec.items()}
+        for k, v in id_arrays.items():
+            mm[k][:] = v
+        chunk = max(1, int(hp.materialize_chunk_rows))
+
+        # user side: one row per grid row
+        dummy_i = np.zeros(m, np.int32)
+        neg1_m = np.full(m, -1, np.int32)
+        ui_rows = ui_flat[::c].copy()
+        uflat = {k: mm[k].reshape((m,) + tails[k])
+                 for k in self._USER_SIDE}
+        for start in range(0, m, chunk):
+            sl = slice(start, min(start + chunk, m))
+            out = self._text_records(hp, user_rows[sl], dummy_i[sl],
+                                     ui_rows[sl], neg1_m[sl], neg1_m[sl])
+            for k in self._USER_SIDE:
+                uflat[k][sl] = out[k]
+
+        # item side: one row per candidate
+        dummy_u = np.zeros(m * c, np.int32)
+        neg1_mc = np.full(m * c, -1, np.int32)
+        iflat = {k: mm[k].reshape((m * c,) + tails[k])
+                 for k in self._ITEM_SIDE}
+        for start in range(0, m * c, chunk):
+            sl = slice(start, min(start + chunk, m * c))
+            out = self._text_records(hp, dummy_u[sl], item_flat[sl],
+                                     neg1_mc[sl], iu_flat[sl],
+                                     this_flat[sl])
+            for k in self._ITEM_SIDE:
+                iflat[k][sl] = out[k]
+
+        for v in mm.values():
+            v.flush()
+        del mm, uflat, iflat
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"arrays": sorted(spec)}, fh)
+        os.replace(tmp, manifest)
+        return open_store()
+
     def materialize_negs(self, hp) -> Dict[str, np.ndarray]:
         """Candidate-grid records for ranking eval: [M, C] ids (positive
-        in column 0), plus doc tensors for review models. Mirrors the
-        reference's `iter_negs` 6-candidate batches (data.py:375-447);
-        no leakage removal (test-time), `this_doc` stays zero.
+        in column 0), plus doc tensors for review models — item side
+        [M, C, ...], user side [M, 1, ...] (identical across
+        candidates, broadcast in the model). Mirrors the reference's
+        `iter_negs` 6-candidate batches (data.py:375-447); no leakage
+        removal (test-time), `this_doc` stays zero.
 
-        With `hp.out_of_core` the [M, C, ...] doc grids — num_candidates
-        times the split's footprint, the first tensors to exhaust RAM on
-        a real dataset (reference fast loader rationale,
+        With `hp.out_of_core` the doc grids — the first tensors to
+        exhaust RAM on a real dataset (reference fast loader rationale,
         data_fast.py:24-119) — are built chunk-wise into the memmapped
         record store instead of host RAM."""
         with_text = hp.family == "review"
@@ -426,26 +534,23 @@ class ReviewDataset:
         user = np.repeat(self.neg_users, c).reshape(m, c).astype(np.int32)
         item = self.neg_cands.astype(np.int32)
         rating = np.zeros((m, c), np.float32)
+        neg1 = np.full(m * c, -1, np.int32)
         if with_text and getattr(hp, "out_of_core", False):
             rows, words = _doc_layout(hp)
-            neg1 = np.full(m * c, -1, np.int32)
-            return self._disk_store(
-                hp, None, f"negs_{rows}x{words}_p{hp.user_pad_id}_c{c}",
+            return self._disk_grid_store(
+                hp, f"negs2_{rows}x{words}_p{hp.user_pad_id}_c{c}",
                 {"user": user, "item": item, "rating": rating},
-                (user.reshape(-1), item.reshape(-1), neg1, neg1, neg1),
-                lead=(m, c))
+                self.neg_users.astype(np.int32), item.reshape(-1),
+                neg1, neg1, neg1, m, c)
         key = ("negs", _doc_layout(hp) if with_text else "id",
                hp.user_pad_id if with_text else 0)
         if key in self._cache:
             return self._cache[key]
         recs = {"user": user, "item": item, "rating": rating}
         if with_text:
-            fu = user.reshape(-1)
-            fi = item.reshape(-1)
-            neg1 = np.full(m * c, -1, np.int32)
-            out = self._text_records(hp, fu, fi, neg1, neg1, neg1)
-            for k, v in out.items():
-                recs[k] = v.reshape((m, c) + v.shape[1:])
+            recs.update(self._grid_text_records(
+                hp, self.neg_users.astype(np.int32), item.reshape(-1),
+                neg1, neg1, neg1, m, c))
         self._cache[key] = recs
         return recs
 
@@ -504,18 +609,17 @@ class ReviewDataset:
             iu = np.full((n, k + 1), -1, np.int32)
             iu[:, 0] = iu0
             neg1 = np.full(n * (k + 1), -1, np.int32)
-            flat_inputs = (user.reshape(-1), cands.reshape(-1),
-                           ui.reshape(-1), iu.reshape(-1), neg1)
             if out_of_core:
                 rows, words = _doc_layout(hp)
-                return self._disk_store(
-                    hp, None,
-                    f"trainnegs_{split}_{rows}x{words}"
+                return self._disk_grid_store(
+                    hp,
+                    f"trainnegs2_{split}_{rows}x{words}"
                     f"_p{hp.user_pad_id}_c{k + 1}_s{seed}",
-                    recs, flat_inputs, lead=(n, k + 1))
-            out = self._text_records(hp, *flat_inputs)
-            for kk, v in out.items():
-                recs[kk] = v.reshape((n, k + 1) + v.shape[1:])
+                    recs, sp.user.astype(np.int32), cands.reshape(-1),
+                    ui.reshape(-1), iu.reshape(-1), neg1, n, k + 1)
+            recs.update(self._grid_text_records(
+                hp, sp.user.astype(np.int32), cands.reshape(-1),
+                ui.reshape(-1), iu.reshape(-1), neg1, n, k + 1))
         self._cache[key] = recs
         return recs
 

@@ -31,7 +31,12 @@ class DeepCoNN(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
-        lead = batch["user"].shape
+        # candidate grids carry the user side at lead [B, 1] (identical
+        # across candidates — corpus._grid_text_records) while item-side
+        # tensors are [B, C]; the user tower runs once per row and its
+        # features broadcast across candidates
+        lead = batch["item"].shape
+        u_lead = batch["user_doc"].shape[:-1]
         udoc = batch["user_doc"].reshape(-1, batch["user_doc"].shape[-1])
         idoc = batch["item_doc"].reshape(-1, batch["item_doc"].shape[-1])
 
@@ -46,6 +51,10 @@ class DeepCoNN(nn.Module):
                     **cnn)(udoc, train=train, table=wv)
         i = TextCNN(self.latent_size, self.dropout, name="item_conv",
                     **cnn)(idoc, train=train, table=wv)
+        if u_lead != lead:
+            u = jnp.broadcast_to(u.reshape(u_lead + u.shape[-1:]),
+                                 lead + u.shape[-1:]) \
+                .reshape(-1, u.shape[-1])
         cat = jnp.concatenate([u, i], axis=-1)
 
         gb = self.param("global_bias", nn.initializers.constant(4.0), (1,))

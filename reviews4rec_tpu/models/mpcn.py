@@ -81,9 +81,15 @@ class MPCN(nn.Module):
         if self.projection not in PROJECTIONS:
             raise ValueError(
                 f"projection {self.projection!r} not in {PROJECTIONS}")
-        lead = batch["user"].shape
+        lead = batch["item"].shape
         dmax, smax = batch["user_doc"].shape[-2:]
-        udoc = batch["user_doc"].reshape(-1, dmax, smax)
+        udoc_in = batch["user_doc"]
+        if udoc_in.shape[:-2] != lead:
+            # candidate grids carry the user side at lead [B, 1]
+            # (corpus._grid_text_records); co-attention couples each
+            # candidate pair, so the user docs are broadcast up front
+            udoc_in = jnp.broadcast_to(udoc_in, lead + (dmax, smax))
+        udoc = udoc_in.reshape(-1, dmax, smax)
         idoc = batch["item_doc"].reshape(-1, dmax, smax)
         b = udoc.shape[0]
         rate = 1.0 - self.dropout_keep

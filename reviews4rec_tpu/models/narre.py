@@ -42,15 +42,20 @@ class NARRE(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
-        lead = batch["user"].shape
+        # candidate grids: user-side tensors at lead [B, 1] (identical
+        # across candidates), item side [B, C]; user-side encoding +
+        # attention run once per row, broadcast after
+        lead = batch["item"].shape
+        u_lead = batch["user_doc"].shape[:-2]
         r, w = batch["user_doc"].shape[-2:]
         udoc = batch["user_doc"].reshape(-1, r, w)
         idoc = batch["item_doc"].reshape(-1, r, w)
-        b = udoc.shape[0]
+        ub_rows = udoc.shape[0]
+        b = idoc.shape[0]
         user_id = batch["user"].reshape(-1)
         item_id = batch["item"].reshape(-1)
         who_gave = batch["users_who_gave"].reshape(b, -1)[:, :r]
-        reviewed = batch["items_reviewed"].reshape(b, -1)[:, :r]
+        reviewed = batch["items_reviewed"].reshape(ub_rows, -1)[:, :r]
 
         ue = self.param("user_embedding", xavier_uniform(),
                         (self.num_user_rows, self.latent_size))
@@ -67,8 +72,8 @@ class NARRE(nn.Module):
                    seq_batch_axis=self.seq_batch_axis)
         wv = frozen_word_table(self, self.word_vectors)
         uf = TextCNN(self.latent_size, self.dropout, name="user_conv",
-                     **cnn)(udoc.reshape(b * r, w), train=train,
-                            table=wv).reshape(b, r, -1)
+                     **cnn)(udoc.reshape(ub_rows * r, w), train=train,
+                            table=wv).reshape(ub_rows, r, -1)
         itf = TextCNN(self.latent_size, self.dropout, name="item_conv",
                       **cnn)(idoc.reshape(b * r, w), train=train,
                              table=wv).reshape(b, r, -1)
@@ -84,6 +89,11 @@ class NARRE(nn.Module):
             itf, jnp.take(ue, who_gave, axis=0),
             ScorerMLP(self.latent_size, self.dropout, name="att_item"),
             train)
+
+        if u_lead != lead:
+            u_att = jnp.broadcast_to(
+                u_att.reshape(u_lead + u_att.shape[-1:]),
+                lead + u_att.shape[-1:]).reshape(-1, u_att.shape[-1])
 
         drop = nn.Dropout(self.dropout, deterministic=not train)
         u = u_att + drop(jnp.take(ue, user_id, axis=0))

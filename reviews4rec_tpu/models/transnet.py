@@ -47,7 +47,11 @@ class TransNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
-        lead = batch["user"].shape
+        # candidate grids: user-side docs at lead [B, 1] (identical
+        # across candidates), item side [B, C]; the source user tower
+        # runs once per row and broadcasts
+        lead = batch["item"].shape
+        u_lead = batch["user_doc"].shape[:-1]
         L = batch["user_doc"].shape[-1]
         udoc = batch["user_doc"].reshape(-1, L)
         idoc = batch["item_doc"].reshape(-1, L)
@@ -75,6 +79,10 @@ class TransNet(nn.Module):
                     name="source_user_conv")(udoc, train=train, table=wv)
         i = TextCNN(self.latent_size, self.dropout, **cnn,
                     name="source_item_conv")(idoc, train=train, table=wv)
+        if u_lead != lead:
+            u = jnp.broadcast_to(u.reshape(u_lead + u.shape[-1:]),
+                                 lead + u.shape[-1:]) \
+                .reshape(-1, u.shape[-1])
         cat = jnp.concatenate([u, i], axis=-1)
         ir = nn.Dense(self.latent_size, kernel_init=xavier_uniform(),
                       name="project_fc0")(cat)

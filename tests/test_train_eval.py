@@ -94,3 +94,33 @@ def test_full_run_api(dataset, hp_base):
     metrics, ucm, icm = run(hp, dataset)
     assert "MSE" in metrics and "HR@1" in metrics
     assert len(ucm) > 0
+
+
+@pytest.mark.parametrize("mt", ["deepconn", "NARRE", "transnet", "MPCN"])
+def test_grid_user_dedup_matches_tiled(dataset, hp_base, mt):
+    """Candidate grids store the user side once per row ([B, 1, ...])
+    and the models broadcast it; scores must match feeding fully tiled
+    [B, C, ...] user tensors (the pre-dedup layout)."""
+    import jax
+    from reviews4rec_tpu.data.batcher import Batcher
+    from reviews4rec_tpu.models import build_model
+    from reviews4rec_tpu.train.evaluate import make_apply_fn, make_rank_step
+
+    hp = hp_base.replace(model_type=mt)
+    model = build_model(hp, dataset.word_vectors)
+    neg = dataset.materialize_negs(hp)
+    batch = next(iter(Batcher(neg, 8)))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng, "gumbel": rng},
+                        batch, train=False)["params"]
+    rank_step = make_rank_step(make_apply_fn(model), mt)
+
+    c = batch["item"].shape[1]
+    tiled = dict(batch)
+    for k in ("user_doc", "items_reviewed"):
+        v = batch[k]
+        assert v.shape[1] == 1, (k, v.shape)
+        tiled[k] = np.broadcast_to(v, (v.shape[0], c) + v.shape[2:])
+    r_dedup = np.asarray(rank_step(params, batch))
+    r_tiled = np.asarray(rank_step(params, tiled))
+    assert np.array_equal(r_dedup, r_tiled)
