@@ -50,9 +50,12 @@ def _dataset():
 
 
 def setup_sgd_model(ds, model_type: str, use_pallas: bool = False,
-                    batch: int = BATCH, fuse_gather: bool = False):
+                    batch: int = BATCH, fuse_gather: bool = False,
+                    scan: int = 1):
     """Build + compile one jitted train step; returns run(k) that
-    executes k steps and syncs by fetching the last loss."""
+    executes k steps and syncs by fetching the last loss. `scan` > 1
+    uses the lax.scan micro-batch path (hp.scan_steps): one dispatch per
+    `scan` steps — k must then be a multiple of `scan`."""
     import jax
     import jax.numpy as jnp
 
@@ -61,11 +64,13 @@ def setup_sgd_model(ds, model_type: str, use_pallas: bool = False,
     from reviews4rec_tpu.models import build_model
     from reviews4rec_tpu.train.evaluate import make_apply_fn
     from reviews4rec_tpu.train.loop import (TrainState, make_optimizer,
+                                            make_scan_train_step,
                                             make_train_step)
 
     hp = HyperParams(model_type=model_type, batch_size=batch,
                      input_length=INPUT_LEN, latent_size=LATENT,
-                     use_pallas=use_pallas, pallas_fuse_gather=fuse_gather)
+                     use_pallas=use_pallas, pallas_fuse_gather=fuse_gather,
+                     scan_steps=scan)
     hp = ds.apply_to(hp)
     model = build_model(hp, ds.word_vectors)
     b = {k: jnp.asarray(v) for k, v in
@@ -75,6 +80,30 @@ def setup_sgd_model(ds, model_type: str, use_pallas: bool = False,
                         train=False)["params"]
     opt = make_optimizer(hp)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    if scan > 1:
+        step = make_scan_train_step(make_apply_fn(model), opt,
+                                    hp.model_type)
+        sb = {k: jnp.broadcast_to(v[None], (scan,) + v.shape)
+              for k, v in b.items()}
+
+        state, m = step(state, sb, jax.random.split(rng, scan))
+        float(m["loss"])                   # compile + real execution
+        holder = {"state": state}
+
+        def run(k: int) -> float:
+            assert k % scan == 0, f"step count {k} not a multiple of {scan}"
+            s = holder["state"]
+            t0 = time.perf_counter()
+            for i in range(k // scan):
+                s, mm = step(s, sb, jax.random.split(
+                    jax.random.fold_in(rng, i), scan))
+            float(mm["loss"])              # fetch = the only real sync
+            holder["state"] = s
+            return time.perf_counter() - t0
+
+        return run
+
     step = make_train_step(make_apply_fn(model), opt, hp.model_type)
 
     state, m = step(state, b, rng)
@@ -273,12 +302,21 @@ def main():
         f"sync-by-fetch slope timing, min-of-3 windows")
 
     rows = {}
-    table = [("MF_dot", {}), ("NeuMF", {}), ("deepconn", {}),
+    # scan10 rows use the lax.scan micro-batch path (hp.scan_steps=10):
+    # identical updates, one dispatch per 10 steps — isolates dispatch
+    # latency (the dominant cost for sub-ms steps on a tunneled chip).
+    # 10 divides both slope window sizes (k_lo=10, STEPS=40).
+    table = [("MF_dot", {}),
+             ("MF_dot+scan10", {"model_type": "MF_dot", "scan": 10}),
+             ("NeuMF", {}), ("deepconn", {}),
              ("NARRE", {}), ("transnet", {}), ("MPCN", {})]
     if on_tpu:
-        table.insert(3, ("deepconn+pallas",
+        table.insert(4, ("deepconn+pallas",
                          {"model_type": "deepconn", "use_pallas": True}))
-        table.insert(4, ("deepconn+pallas+fusedgather",
+        table.insert(5, ("deepconn+pallas+scan10",
+                         {"model_type": "deepconn", "use_pallas": True,
+                          "scan": 10}))
+        table.insert(6, ("deepconn+pallas+fusedgather",
                          {"model_type": "deepconn", "use_pallas": True,
                           "fuse_gather": True}))
 
@@ -289,19 +327,20 @@ def main():
         configs[name] = dict(model_type=kw.get("model_type", name),
                              use_pallas=kw.get("use_pallas", False),
                              fuse_gather=kw.get("fuse_gather", False),
+                             scan=kw.get("scan", 1),
                              batch=BATCH)
     sweep_cfgs = {}
     for bsz in (128, 512):
         sweep_cfgs[f"deepconn@B{bsz}"] = dict(
             model_type="deepconn", use_pallas=False, fuse_gather=False,
-            batch=bsz)
+            scan=1, batch=bsz)
 
     runs, batches = {}, {}
     for name, cfg in {**configs, **sweep_cfgs}.items():
         try:
             runs[name] = setup_sgd_model(ds, cfg["model_type"],
                                          cfg["use_pallas"], cfg["batch"],
-                                         cfg["fuse_gather"])
+                                         cfg["fuse_gather"], cfg["scan"])
             batches[name] = cfg["batch"]
             log(f"compiled {name}")
         except Exception as exc:

@@ -159,6 +159,16 @@ class HyperParams:
     # psum/a2a require mesh_shape[1] > 1. Review towers keep GSPMD for
     # their id/bias side lookups (tiny next to the text encoders).
     embedding_lookup: str = "gspmd"
+    # Micro-batch scan (SURVEY.md §7.2): >1 groups that many consecutive
+    # batches into one [S, B, ...] super-batch and runs the SGD updates
+    # inside a single jitted `lax.scan` dispatch — identical numerics
+    # and update order to per-step dispatch (tested bitwise), but one
+    # host->device dispatch per S steps. This amortizes dispatch latency,
+    # the dominant cost for sub-millisecond steps (the MF family) and
+    # visible for every model on remote/tunneled TPUs. A trailing group
+    # smaller than S runs through the per-step path (no zero-weight
+    # padding batches: a padded batch would still apply weight decay).
+    scan_steps: int = 1
     # shard the review-doc time axis of every TextCNN over the model
     # axis (ppermute halo exchange, parallel/sequence.py) — the scaling
     # path for input_length beyond one chip's HBM; requires

@@ -78,15 +78,17 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Shard every batch array over the data axis on its leading dim.
+def shard_batch(batch, mesh: Mesh, axis: int = 0):
+    """Shard every batch array over the data axis on dim `axis` (0 for a
+    plain [B, ...] batch; 1 for a scan-stacked [S, B, ...] super-batch,
+    whose scan dim stays unsharded).
 
     Multi-host: each process holds only its slice of the global batch
     (see `host_slice`); `jax.make_array_from_process_local_data`
     assembles the global array from the per-host shards, so batch rows
     never cross DCN. Single-host: a plain device_put scatter over ICI.
     """
-    sharding = NamedSharding(mesh, P("data"))
+    sharding = NamedSharding(mesh, P(*([None] * axis), "data"))
     if jax.process_count() > 1:
         def place(x):
             return jax.make_array_from_process_local_data(
@@ -98,18 +100,21 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(place, batch)
 
 
-def host_slice(batch):
-    """This process's contiguous row range of a global batch. Identity
-    on a single host; under `jax.distributed` each host feeds only its
-    rows to `shard_batch` (per-host input sharding)."""
+def host_slice(batch, axis: int = 0):
+    """This process's contiguous row range of a global batch (rows on
+    dim `axis`). Identity on a single host; under `jax.distributed`
+    each host feeds only its rows to `shard_batch` (per-host input
+    sharding)."""
     p = jax.process_count()
     if p == 1:
         return batch
     pid = jax.process_index()
 
     def sl(x):
-        per = x.shape[0] // p
-        return x[pid * per:(pid + 1) * per]
+        per = x.shape[axis] // p
+        idx = tuple([slice(None)] * axis
+                    + [slice(pid * per, (pid + 1) * per)])
+        return x[idx]
 
     return jax.tree_util.tree_map(sl, batch)
 

@@ -147,35 +147,92 @@ def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
     return train_step
 
 
-def make_placer(mesh) -> Callable:
+def make_scan_train_step(apply_fn: Callable,
+                         optimizer: optax.GradientTransformation,
+                         model_type: str, loss_name: str = "RAW_MSE",
+                         hinge_margin: float = 0.2):
+    """Scanned multi-batch train step (SURVEY.md §7.2): one dispatch
+    executes S sequential SGD updates via `lax.scan` over a stacked
+    [S, B, ...] super-batch — the identical per-batch computation and
+    update order as S `train_step` dispatches (tested bitwise), at one
+    host->device dispatch instead of S. Dispatch latency dominates
+    sub-millisecond steps (the MF family) and is visible for every model
+    through a remote/tunneled TPU."""
+    donate = (0,) if jax.default_backend() != "cpu" else ()
+
+    @partial(jax.jit, donate_argnums=donate)
+    def scan_step(state: TrainState, batches, rngs) -> Tuple[TrainState,
+                                                             Dict]:
+        def body(st, xs):
+            batch, rng = xs
+
+            def loss_fn(params):
+                preds = apply_fn(params, batch, True, rng)
+                return _batch_loss(preds, batch, model_type, loss_name,
+                                   hinge_margin)
+
+            (loss, (sq_sum, n)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params)
+            updates, opt_state = optimizer.update(grads, st.opt_state,
+                                                  st.params)
+            params = optax.apply_updates(st.params, updates)
+            return (TrainState(params, opt_state, st.step + 1),
+                    (loss, sq_sum, n))
+
+        state, (losses, sqs, ns) = jax.lax.scan(body, state,
+                                                (batches, rngs))
+        return state, {"loss": losses[-1], "sq_sum": jnp.sum(sqs),
+                       "n": jnp.sum(ns)}
+
+    return scan_step
+
+
+def make_placer(mesh, stacked: bool = False) -> Callable:
     """Host batch -> device batch. With a mesh: shard rows over the data
     axis (each host contributes only its slice under multi-host);
-    without: a plain transfer."""
+    without: a plain transfer. `stacked=True` places a scan-stacked
+    [S, B, ...] super-batch (rows on dim 1, scan dim unsharded)."""
     if mesh is None:
         return lambda batch: jax.tree_util.tree_map(jnp.asarray, batch)
     from ..parallel.mesh import host_slice, shard_batch
-    return lambda batch: shard_batch(host_slice(batch), mesh)
+    axis = 1 if stacked else 0
+    return lambda batch: shard_batch(host_slice(batch, axis=axis), mesh,
+                                     axis=axis)
 
 
-def _prefetch(batcher, place: Callable, depth: int = 2):
-    """Move batches to device `depth` steps ahead of consumption so the
-    host->device copy overlaps the previous step's compute (the tunneled
-    TPU makes transfer latency visible)."""
+def _lookahead(it, depth: int = 2):
+    """Run the (eagerly-placing) iterator `depth` items ahead of
+    consumption so host->device copies overlap the previous step's
+    compute (the tunneled TPU makes transfer latency visible)."""
     import collections
 
     buf = collections.deque()
-    it = iter(batcher)
-    for batch in it:
-        buf.append(place(batch))
+    for item in it:
+        buf.append(item)
         if len(buf) >= depth:
             yield buf.popleft()
     while buf:
         yield buf.popleft()
 
 
+def _prefetch(batcher, place: Callable, depth: int = 2):
+    """Move batches to device `depth` steps ahead of consumption."""
+    return _lookahead((place(batch) for batch in batcher), depth)
+
+
 def train_epoch(train_step, state: TrainState, batcher: Batcher,
-                rng, place: Optional[Callable] = None
+                rng, place: Optional[Callable] = None, *,
+                scan_step=None, scan_steps: int = 1,
+                place_stacked: Optional[Callable] = None
                 ) -> Tuple[TrainState, Dict]:
+    """One epoch of SGD. With `scan_step`/`scan_steps` > 1, consecutive
+    batches are stacked into [S, B, ...] super-batches and each group
+    runs as ONE `lax.scan` dispatch (make_scan_train_step) — the same
+    updates in the same order as the per-step path (the per-batch RNG
+    split stream is reproduced exactly), so the two paths are bitwise
+    interchangeable; a trailing group smaller than S falls back to
+    `train_step` (zero-weight padding batches would still apply weight
+    decay)."""
     from .profiler import Throughput, annotate
 
     tp = Throughput()
@@ -187,15 +244,49 @@ def train_epoch(train_step, state: TrainState, batcher: Batcher,
     sq_sum = jnp.zeros(())
     n = jnp.zeros(())
     bs = batcher.batch_size
-    remaining = batcher.n
-    for batch in _prefetch(batcher, place):
-        rng, step_rng = jax.random.split(rng)
+    use_scan = scan_step is not None and scan_steps > 1
+    if not use_scan:
+        remaining = batcher.n
+        for batch in _prefetch(batcher, place):
+            rng, step_rng = jax.random.split(rng)
+            with annotate("train_step"):
+                state, m = train_step(state, batch, step_rng)
+            sq_sum = sq_sum + m["sq_sum"]
+            n = n + m["n"]
+            tp.add(min(bs, remaining))  # host-side count, no device sync
+            remaining -= bs
+        sq_sum = float(sq_sum)
+        n = float(n)
+        return state, {"MSE": round(sq_sum / max(n, 1.0), 4),
+                       **tp.metrics()}
+
+    if place_stacked is None:
+        place_stacked = make_placer(None)
+
+    def grouped():
+        nonlocal rng
+        group, grngs, counts, left = [], [], [], batcher.n
+        for batch in batcher:
+            rng, step_rng = jax.random.split(rng)
+            group.append(batch)
+            grngs.append(step_rng)
+            counts.append(min(bs, left))
+            left -= bs
+            if len(group) == scan_steps:
+                stacked = {k: np.stack([b[k] for b in group])
+                           for k in group[0]}
+                yield (scan_step, place_stacked(stacked),
+                       jnp.stack(grngs), sum(counts))
+                group, grngs, counts = [], [], []
+        for batch, step_rng, c in zip(group, grngs, counts):
+            yield (train_step, place(batch), step_rng, c)
+
+    for step_fn, placed, step_rng, count in _lookahead(grouped()):
         with annotate("train_step"):
-            state, m = train_step(state, batch, step_rng)
+            state, m = step_fn(state, placed, step_rng)
         sq_sum = sq_sum + m["sq_sum"]
         n = n + m["n"]
-        tp.add(min(bs, remaining))   # host-side count, no device sync
-        remaining -= bs
+        tp.add(count)
     sq_sum = float(sq_sum)
     n = float(n)
     return state, {"MSE": round(sq_sum / max(n, 1.0), 4), **tp.metrics()}
@@ -303,6 +394,12 @@ def train_complete(hp: HyperParams, model, dataset, *,
 
         train_step = make_train_step(apply_fn, optimizer, hp.model_type,
                                      hp.loss, hp.hinge_margin)
+        scan_step = (make_scan_train_step(apply_fn, optimizer,
+                                          hp.model_type, hp.loss,
+                                          hp.hinge_margin)
+                     if hp.scan_steps > 1 else None)
+        place_stacked = (make_placer(mesh, stacked=True)
+                         if hp.scan_steps > 1 else None)
         eval_step = make_eval_step(apply_fn, hp.model_type, mesh=mesh)
         rank_step = (make_rank_step(apply_fn, hp.model_type, mesh=mesh)
                      if ranking else None)
@@ -312,8 +409,10 @@ def train_complete(hp: HyperParams, model, dataset, *,
         for epoch in range(start_epoch, hp.epochs + 1):
             t0 = time.time()
             epoch_rng = jax.random.fold_in(root_rng, epoch)
-            state, train_metrics = train_epoch(train_step, state, train_b,
-                                               epoch_rng, place)
+            state, train_metrics = train_epoch(
+                train_step, state, train_b, epoch_rng, place,
+                scan_step=scan_step, scan_steps=hp.scan_steps,
+                place_stacked=place_stacked)
             if ranking:
                 rank = eval_ranking(rank_step, state.params, val_recs, hp,
                                     batch_size=hp.batch_size, mesh=mesh)
