@@ -178,7 +178,9 @@ def time_hft(ds, iters: int = 4) -> float:
     hp = HyperParams(model_type="HFT", latent_size=8)
     hp = ds.apply_to(hp)
     tr = HFTTrainer(hp, ds)
-    params, background = init_params(tr.data, hp)
+    # verbose=log: init_params defaults to print, which would leak the
+    # offset-error banner onto STDOUT and break the one-JSON-line contract
+    params, background = init_params(tr.data, hp, verbose=log)
     rng = jax.random.PRNGKey(0)
     counts = e_step(params, background, tr.data.tok_word,
                     tr.data.tok_item, hp.latent_size, rng)

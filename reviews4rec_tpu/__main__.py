@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--{f.name}", **kw)
     p.add_argument("--json", action="store_true",
                    help="print the final metrics as one JSON line")
+    p.add_argument("--save_predictions", action="store_true",
+                   help="after training, write <tag>_{split}_results "
+                        "prediction artifacts for train/test/val "
+                        "(reference HFT/MPCN prediction-file format) "
+                        "to --log_dir")
     # multi-host runtime (parallel/distributed.py): every host runs the
     # same command with its own --process_id; jax.devices() becomes the
     # global device set and hp.mesh_shape spans hosts
@@ -112,6 +117,12 @@ def main(argv=None) -> int:
 
     if not is_primary():
         return 0
+    if args.save_predictions and hp.family in ("id", "review"):
+        from .data.corpus import ReviewDataset
+        from .serve import save_predictions
+        paths = save_predictions(hp, ReviewDataset.load(hp.data_dir()))
+        for split, path in paths.items():
+            print(f"predictions[{split}]: {path}", file=sys.stderr)
     if args.json:
         print(json.dumps(metrics))
     else:

@@ -26,6 +26,25 @@ def test_cli_end_to_end(tmp_path, dataset, capsys):
     assert (tmp_path / "models").glob("*.ckpt")
 
 
+def test_cli_save_predictions(tmp_path, dataset, capsys):
+    data_root = tmp_path / "data"
+    dataset.save(str(data_root / "synthetic" / "5_core"))
+    rc = main([
+        "--model_type", "bias_only", "--dataset", "synthetic",
+        "--data_root", str(data_root), "--epochs", "1",
+        "--batch_size", "32",
+        "--log_dir", str(tmp_path / "logs"),
+        "--model_dir", str(tmp_path / "models"),
+        "--save_predictions", "--json",
+    ])
+    assert rc == 0
+    results = list((tmp_path / "logs").glob("*_results"))
+    assert len(results) == 3  # train/test/val prediction artifacts
+    for p in results:
+        line = open(p).readline().split()
+        assert len(line) == 2
+
+
 def test_cli_missing_corpus(tmp_path, capsys):
     rc = main(["--model_type", "bias_only", "--dataset", "nope",
                "--data_root", str(tmp_path)])

@@ -1,0 +1,88 @@
+"""Serving API (serve.py): checkpoint-restored prediction, prediction
+artifacts (reference HFT/MPCN prediction-file format), and chunked
+top-k recommendation."""
+
+import numpy as np
+import pytest
+
+from reviews4rec_tpu.api import run
+from reviews4rec_tpu.serve import (predict, recommend, restore_model,
+                                   save_predictions)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory, dataset, hp_base):
+    d = tmp_path_factory.mktemp("serve")
+    hp = hp_base.replace(model_type="MF_dot", epochs=2,
+                         model_dir=str(d / "models"),
+                         log_dir=str(d / "logs"))
+    metrics, _, _ = run(hp, dataset)
+    return hp, metrics
+
+
+def test_predict_matches_eval(trained, dataset):
+    """predict() restores the best-val checkpoint api.run saved; its MSE
+    must reproduce the reported test MSE."""
+    hp, metrics = trained
+    preds = predict(hp, dataset, "test")
+    sp = dataset.splits["test"]
+    assert preds.shape == (len(sp),)
+    mse = float(np.mean((preds - sp.rating) ** 2))
+    assert abs(mse - metrics["MSE"]) < 1e-3
+
+
+def test_save_predictions_artifacts(trained, dataset):
+    hp, _ = trained
+    paths = save_predictions(hp, dataset)
+    for split, path in paths.items():
+        lines = open(path).read().splitlines()
+        assert len(lines) == len(dataset.splits[split])
+        p, r = lines[0].split()
+        float(p), float(r)
+
+
+def test_recommend_chunked_matches_single_shot(trained, dataset):
+    """The running top-k merge over item chunks equals one full-catalog
+    pass, and scores come back sorted."""
+    hp, _ = trained
+    users = np.array([0, 3, 7])
+    model, params = restore_model(hp, dataset)
+    i1, s1 = recommend(hp, dataset, users, k=5, item_chunk=7,
+                       params=params, model=model)
+    i2, s2 = recommend(hp, dataset, users, k=5,
+                       item_chunk=dataset.num_items,
+                       params=params, model=model)
+    assert np.array_equal(i1, i2)
+    assert np.allclose(s1, s2)
+    assert np.all(np.diff(s1, axis=1) <= 1e-6)
+
+
+def test_recommend_excludes_seen(trained, dataset):
+    hp, _ = trained
+    users = np.array([0, 1])
+    items, _ = recommend(hp, dataset, users, k=5)
+    tr = dataset.splits["train"]
+    for ui, u in enumerate(users):
+        seen = set(int(i) for uu, i in zip(tr.user, tr.item)
+                   if int(uu) == int(u))
+        assert not (set(items[ui].tolist()) & seen)
+
+
+def test_recommend_review_model(tmp_path, dataset, hp_base):
+    """Review-tower models recommend through the same grid layout the
+    rank evaluator uses (user side broadcast over candidates)."""
+    hp = hp_base.replace(model_type="deepconn", epochs=1,
+                         model_dir=str(tmp_path / "m"),
+                         log_dir=str(tmp_path / "l"))
+    run(hp, dataset)
+    items, scores = recommend(hp, dataset, np.array([2, 5]), k=3,
+                              item_chunk=11)
+    assert items.shape == (2, 3) and np.isfinite(scores).all()
+
+
+def test_serve_rejects_non_gradient(dataset, hp_base):
+    with pytest.raises(ValueError):
+        predict(hp_base.replace(model_type="HFT"), dataset)
+    with pytest.raises(ValueError):
+        recommend(hp_base.replace(model_type="SVD"), dataset,
+                  np.array([0]))
