@@ -122,6 +122,83 @@ def setup_sgd_model(ds, model_type: str, use_pallas: bool = False,
     return run
 
 
+def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
+                       batch: int = BATCH, scan: int = 1):
+    """hp.cache_doc_embeds path: doc embeddings pre-computed into device
+    arrays, the step gathers [B] cached rows by index — no per-step word
+    gather, no host batch transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    from reviews4rec_tpu.config import HyperParams
+    from reviews4rec_tpu.data.batcher import Batcher
+    from reviews4rec_tpu.models import build_model
+    from reviews4rec_tpu.train.evaluate import make_apply_fn
+    from reviews4rec_tpu.train.loop import (TrainState, build_doc_cache,
+                                            cache_dtype_for,
+                                            make_cached_train_step,
+                                            make_optimizer)
+
+    hp = HyperParams(model_type=model_type, batch_size=batch,
+                     input_length=INPUT_LEN, latent_size=LATENT,
+                     use_pallas=use_pallas, cache_doc_embeds=True,
+                     scan_steps=scan)
+    hp = ds.apply_to(hp)
+    model = build_model(hp, ds.word_vectors)
+    recs = ds.materialize(hp, "train")
+    cache = build_doc_cache(recs, ds.word_vectors, cache_dtype_for(hp))
+    n = int(next(iter(recs.values())).shape[0])
+    rows = jnp.asarray(np.arange(batch) % n, jnp.int32)
+    weight = jnp.ones((batch,), jnp.float32)
+
+    b = {k: jnp.asarray(v) for k, v in
+         next(iter(Batcher(recs, batch))).items()}
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng}, b,
+                        train=False)["params"]
+    opt = make_optimizer(hp)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_cached_train_step(make_apply_fn(model), opt,
+                                  hp.model_type, scan_steps=scan)
+
+    if scan > 1:
+        rows = jnp.broadcast_to(rows[None], (scan, batch))
+        weight = jnp.broadcast_to(weight[None], (scan, batch))
+        state, m = step(state, cache, rows, weight,
+                        jax.random.split(rng, scan))
+        float(m["loss"])
+        holder = {"state": state}
+
+        def run(k: int) -> float:
+            assert k % scan == 0
+            s = holder["state"]
+            t0 = time.perf_counter()
+            for i in range(k // scan):
+                s, mm = step(s, cache, rows, weight, jax.random.split(
+                    jax.random.fold_in(rng, i), scan))
+            float(mm["loss"])
+            holder["state"] = s
+            return time.perf_counter() - t0
+
+        return run
+
+    state, m = step(state, cache, rows, weight, rng)
+    float(m["loss"])
+    holder = {"state": state}
+
+    def run(k: int) -> float:
+        s = holder["state"]
+        t0 = time.perf_counter()
+        for i in range(k):
+            s, mm = step(s, cache, rows, weight,
+                         jax.random.fold_in(rng, i))
+        float(mm["loss"])
+        holder["state"] = s
+        return time.perf_counter() - t0
+
+    return run
+
+
 def slope_interleaved(runs, steps: int = STEPS, rounds: int = 3):
     """Slope-time many configs with INTERLEAVED windows.
 
@@ -318,7 +395,13 @@ def main():
         table.insert(5, ("deepconn+pallas+scan10",
                          {"model_type": "deepconn", "use_pallas": True,
                           "scan": 10}))
-        table.insert(6, ("deepconn+pallas+fusedgather",
+        table.insert(6, ("deepconn+pallas+cache",
+                         {"model_type": "deepconn", "use_pallas": True,
+                          "cache": True}))
+        table.insert(7, ("deepconn+pallas+cache+scan10",
+                         {"model_type": "deepconn", "use_pallas": True,
+                          "cache": True, "scan": 10}))
+        table.insert(8, ("deepconn+pallas+fusedgather",
                          {"model_type": "deepconn", "use_pallas": True,
                           "fuse_gather": True}))
 
@@ -330,19 +413,27 @@ def main():
                              use_pallas=kw.get("use_pallas", False),
                              fuse_gather=kw.get("fuse_gather", False),
                              scan=kw.get("scan", 1),
+                             cache=kw.get("cache", False),
                              batch=BATCH)
     sweep_cfgs = {}
     for bsz in (128, 512):
         sweep_cfgs[f"deepconn@B{bsz}"] = dict(
             model_type="deepconn", use_pallas=False, fuse_gather=False,
-            scan=1, batch=bsz)
+            scan=1, cache=False, batch=bsz)
 
     runs, batches = {}, {}
     for name, cfg in {**configs, **sweep_cfgs}.items():
         try:
-            runs[name] = setup_sgd_model(ds, cfg["model_type"],
-                                         cfg["use_pallas"], cfg["batch"],
-                                         cfg["fuse_gather"], cfg["scan"])
+            if cfg["cache"]:
+                runs[name] = setup_cached_model(
+                    ds, cfg["model_type"], cfg["use_pallas"],
+                    cfg["batch"], cfg["scan"])
+            else:
+                runs[name] = setup_sgd_model(ds, cfg["model_type"],
+                                             cfg["use_pallas"],
+                                             cfg["batch"],
+                                             cfg["fuse_gather"],
+                                             cfg["scan"])
             batches[name] = cfg["batch"]
             log(f"compiled {name}")
         except Exception as exc:

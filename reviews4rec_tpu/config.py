@@ -169,6 +169,19 @@ class HyperParams:
     # smaller than S runs through the per-step path (no zero-weight
     # padding batches: a padded batch would still apply weight decay).
     scan_steps: int = 1
+    # Device-resident embedded-doc cache for review towers (except MPCN,
+    # whose word embeddings are trained): the word table is FROZEN, so
+    # each example's [T, E] doc embedding is static across the whole run.
+    # True precomputes the split's doc tensors through the table ONCE
+    # into device arrays and the train step gathers [B] whole-doc rows
+    # by index — eliminating the per-step [B*T]-row word gather (row-
+    # bound, ~40% of the flagship step) and the per-step host->device
+    # batch transfer (the step's only host input becomes the [B] row
+    # indices). Bitwise-identical to the uncached path (tested). Memory:
+    # ~2 * N * T * E * dtype bytes of HBM — opt in where the split fits
+    # (e.g. 100k x 1000 x 64 bf16 = 12.8 GB/side does NOT fit v5e;
+    # 20k-example splits do). Single-device only for now.
+    cache_doc_embeds: bool = False
     # shard the review-doc time axis of every TextCNN over the model
     # axis (ppermute halo exchange, parallel/sequence.py) — the scaling
     # path for input_length beyond one chip's HBM; requires

@@ -11,7 +11,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import FM, ScorerMLP, TextCNN, frozen_word_table
+from .layers import FM, ScorerMLP, TextCNN, doc_shape, frozen_word_table
 
 
 class DeepCoNN(nn.Module):
@@ -36,9 +36,12 @@ class DeepCoNN(nn.Module):
         # tensors are [B, C]; the user tower runs once per row and its
         # features broadcast across candidates
         lead = batch["item"].shape
-        u_lead = batch["user_doc"].shape[:-1]
-        udoc = batch["user_doc"].reshape(-1, batch["user_doc"].shape[-1])
-        idoc = batch["item_doc"].reshape(-1, batch["item_doc"].shape[-1])
+        # docs are int token ids [..., T], or pre-embedded float
+        # [..., T, E] from the device cache (hp.cache_doc_embeds)
+        u_lead, u_tail = doc_shape(batch["user_doc"], 1)
+        _, i_tail = doc_shape(batch["item_doc"], 1)
+        udoc = batch["user_doc"].reshape((-1,) + u_tail)
+        idoc = batch["item_doc"].reshape((-1,) + i_tail)
 
         cnn = dict(use_pallas=self.use_pallas,
                    pallas_interpret=self.pallas_interpret,

@@ -81,11 +81,18 @@ class TextCNN(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  table: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         # x: [B, T, E] embedded words, or int [B, T] token ids plus a
-        # `table` [V, E] to embed with (the fused-gather path)
+        # `table` [V, E] to embed with (the fused-gather path). A FLOAT
+        # x alongside a table is a pre-embedded doc from the device
+        # cache (hp.cache_doc_embeds): the gather is skipped and, since
+        # the rows came from the frozen table, the input cotangent is
+        # dead exactly as in the in-step-gather case.
         w = self.window
-        fused = (table is not None and self.use_pallas
+        pre_embedded = (table is not None
+                        and jnp.issubdtype(x.dtype, jnp.floating))
+        frozen_input = table is not None
+        fused = (frozen_input and not pre_embedded and self.use_pallas
                  and self.fuse_gather and self.seq_mesh is None)
-        if table is not None and not fused:
+        if frozen_input and not fused and not pre_embedded:
             x = jnp.take(table, x, axis=0)
         b, t = x.shape[:2]
         e = table.shape[1] if fused else x.shape[2]
@@ -114,7 +121,7 @@ class TextCNN(nn.Module):
             # table-embedded inputs come from a FROZEN word table, so
             # their cotangent is dead: compile the backward without dx
             y = textcnn_pool(x, kernel, bias, w, self.pallas_interpret,
-                             dot_dtype, need_dx=(table is None))
+                             dot_dtype, need_dx=not frozen_input)
         else:
             # torch Conv2d pads (window-1) on both ends -> T+w-1 outputs
             xp = jnp.pad(x.astype(self.compute_dtype),
@@ -245,6 +252,15 @@ class PosFFN(nn.Module):
         h = nn.Dense(x.shape[-1], kernel_init=xavier_uniform(),
                      name="readout")(h)
         return LayerNorm(name="ln")(x + h)
+
+
+def doc_shape(doc: jnp.ndarray, ndims: int):
+    """(lead, tail) split of a doc tensor whose layout trails with
+    `ndims` dims when integer ids ([..., T] or [..., R, W]) — float docs
+    from the device embedding cache carry one extra trailing E axis."""
+    if jnp.issubdtype(doc.dtype, jnp.floating):
+        ndims += 1
+    return doc.shape[:-ndims], doc.shape[-ndims:]
 
 
 def frozen_word_table(mod: nn.Module, word_vectors) -> jnp.ndarray:

@@ -15,8 +15,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import (MLPTower, ScorerMLP, TextCNN, frozen_word_table,
-                     xavier_uniform)
+from .layers import (MLPTower, ScorerMLP, TextCNN, doc_shape,
+                     frozen_word_table, xavier_uniform)
 
 
 class NARRE(nn.Module):
@@ -46,10 +46,13 @@ class NARRE(nn.Module):
         # across candidates), item side [B, C]; user-side encoding +
         # attention run once per row, broadcast after
         lead = batch["item"].shape
-        u_lead = batch["user_doc"].shape[:-2]
-        r, w = batch["user_doc"].shape[-2:]
-        udoc = batch["user_doc"].reshape(-1, r, w)
-        idoc = batch["item_doc"].reshape(-1, r, w)
+        # docs: int ids [..., R, W] or pre-embedded float [..., R, W, E]
+        # (hp.cache_doc_embeds)
+        u_lead, u_tail = doc_shape(batch["user_doc"], 2)
+        _, i_tail = doc_shape(batch["item_doc"], 2)
+        r, w = u_tail[0], u_tail[1]
+        udoc = batch["user_doc"].reshape((-1,) + u_tail)
+        idoc = batch["item_doc"].reshape((-1,) + i_tail)
         ub_rows = udoc.shape[0]
         b = idoc.shape[0]
         user_id = batch["user"].reshape(-1)
@@ -72,11 +75,11 @@ class NARRE(nn.Module):
                    seq_batch_axis=self.seq_batch_axis)
         wv = frozen_word_table(self, self.word_vectors)
         uf = TextCNN(self.latent_size, self.dropout, name="user_conv",
-                     **cnn)(udoc.reshape(ub_rows * r, w), train=train,
-                            table=wv).reshape(ub_rows, r, -1)
+                     **cnn)(udoc.reshape((ub_rows * r,) + u_tail[1:]),
+                            train=train, table=wv).reshape(ub_rows, r, -1)
         itf = TextCNN(self.latent_size, self.dropout, name="item_conv",
-                      **cnn)(idoc.reshape(b * r, w), train=train,
-                             table=wv).reshape(b, r, -1)
+                      **cnn)(idoc.reshape((b * r,) + i_tail[1:]),
+                             train=train, table=wv).reshape(b, r, -1)
 
         # Review-level attention with neighbor ids as context
         # (NARRE.py:110-113): the user's reviews attend over the items

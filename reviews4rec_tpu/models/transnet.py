@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import FM, TextCNN, frozen_word_table, xavier_uniform
+from .layers import FM, TextCNN, doc_shape, frozen_word_table, xavier_uniform
 
 
 class TransNet(nn.Module):
@@ -51,11 +51,14 @@ class TransNet(nn.Module):
         # across candidates), item side [B, C]; the source user tower
         # runs once per row and broadcasts
         lead = batch["item"].shape
-        u_lead = batch["user_doc"].shape[:-1]
-        L = batch["user_doc"].shape[-1]
-        udoc = batch["user_doc"].reshape(-1, L)
-        idoc = batch["item_doc"].reshape(-1, L)
-        tdoc = batch["this_doc"].reshape(-1, batch["this_doc"].shape[-1])
+        # docs: int ids [..., T] or pre-embedded float [..., T, E]
+        # (hp.cache_doc_embeds)
+        u_lead, u_tail = doc_shape(batch["user_doc"], 1)
+        _, i_tail = doc_shape(batch["item_doc"], 1)
+        _, t_tail = doc_shape(batch["this_doc"], 1)
+        udoc = batch["user_doc"].reshape((-1,) + u_tail)
+        idoc = batch["item_doc"].reshape((-1,) + i_tail)
+        tdoc = batch["this_doc"].reshape((-1,) + t_tail)
         user_id = batch["user"].reshape(-1)
         item_id = batch["item"].reshape(-1)
         w = batch.get("weight")

@@ -119,18 +119,13 @@ def _batch_loss(preds, batch, model_type: str, loss_name: str = "RAW_MSE",
     return loss, (jnp.sum(sq * w), jnp.sum(w))
 
 
-def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
-                    model_type: str, loss_name: str = "RAW_MSE",
-                    hinge_margin: float = 0.2):
-    # donate_argnums=0: the previous TrainState's buffers are dead after
-    # the update, so XLA reuses them in place — halves HBM traffic for
-    # params/opt state. Snapshots of params that must outlive a step are
-    # copied first (see train_complete). CPU has no donation support, so
-    # skip it there to avoid per-compile warnings in tests.
-    donate = (0,) if jax.default_backend() != "cpu" else ()
+def _make_update(apply_fn: Callable,
+                 optimizer: optax.GradientTransformation,
+                 model_type: str, loss_name: str, hinge_margin: float):
+    """The single SGD update shared by every step builder (per-step,
+    scanned, cached): loss + grads + optimizer apply on one batch."""
 
-    @partial(jax.jit, donate_argnums=donate)
-    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+    def update(state: TrainState, batch, rng):
         def loss_fn(params):
             preds = apply_fn(params, batch, True, rng)
             return _batch_loss(preds, batch, model_type, loss_name,
@@ -142,7 +137,30 @@ def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         return (TrainState(params, opt_state, state.step + 1),
-                {"loss": loss, "sq_sum": sq_sum, "n": n})
+                (loss, sq_sum, n))
+
+    return update
+
+
+def _donate():
+    # donate_argnums=0: the previous TrainState's buffers are dead after
+    # the update, so XLA reuses them in place — halves HBM traffic for
+    # params/opt state. Snapshots of params that must outlive a step are
+    # copied first (see train_complete). CPU has no donation support, so
+    # skip it there to avoid per-compile warnings in tests.
+    return (0,) if jax.default_backend() != "cpu" else ()
+
+
+def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
+                    model_type: str, loss_name: str = "RAW_MSE",
+                    hinge_margin: float = 0.2):
+    update = _make_update(apply_fn, optimizer, model_type, loss_name,
+                          hinge_margin)
+
+    @partial(jax.jit, donate_argnums=_donate())
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        state, (loss, sq_sum, n) = update(state, batch, rng)
+        return state, {"loss": loss, "sq_sum": sq_sum, "n": n}
 
     return train_step
 
@@ -158,26 +176,15 @@ def make_scan_train_step(apply_fn: Callable,
     host->device dispatch instead of S. Dispatch latency dominates
     sub-millisecond steps (the MF family) and is visible for every model
     through a remote/tunneled TPU."""
-    donate = (0,) if jax.default_backend() != "cpu" else ()
+    update = _make_update(apply_fn, optimizer, model_type, loss_name,
+                          hinge_margin)
 
-    @partial(jax.jit, donate_argnums=donate)
+    @partial(jax.jit, donate_argnums=_donate())
     def scan_step(state: TrainState, batches, rngs) -> Tuple[TrainState,
                                                              Dict]:
         def body(st, xs):
             batch, rng = xs
-
-            def loss_fn(params):
-                preds = apply_fn(params, batch, True, rng)
-                return _batch_loss(preds, batch, model_type, loss_name,
-                                   hinge_margin)
-
-            (loss, (sq_sum, n)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(st.params)
-            updates, opt_state = optimizer.update(grads, st.opt_state,
-                                                  st.params)
-            params = optax.apply_updates(st.params, updates)
-            return (TrainState(params, opt_state, st.step + 1),
-                    (loss, sq_sum, n))
+            return update(st, batch, rng)
 
         state, (losses, sqs, ns) = jax.lax.scan(body, state,
                                                 (batches, rngs))
@@ -185,6 +192,70 @@ def make_scan_train_step(apply_fn: Callable,
                        "n": jnp.sum(ns)}
 
     return scan_step
+
+
+# Doc tensors that embed through the FROZEN word table — the keys the
+# device cache pre-embeds (hp.cache_doc_embeds).
+DOC_KEYS = ("user_doc", "item_doc", "this_doc")
+
+
+def build_doc_cache(records: Dict, word_vectors, dtype) -> Dict:
+    """Device-resident record cache with the frozen-table doc tensors
+    PRE-EMBEDDED (int ids [..., T] -> float [..., T, E]): the word table
+    never changes, so each example's doc embedding is static for the
+    whole run; one up-front gather replaces one per step. Every other
+    record array is device_put as-is; the per-step host input shrinks to
+    the [B] row indices. `dtype` must match what the consuming conv
+    branch would cast to (bf16 for the TPU Pallas path, hp.compute_dtype
+    for the XLA path) so cached and uncached runs are bitwise-identical."""
+    table = jnp.asarray(word_vectors).astype(dtype)
+    cache = {}
+    for k, v in records.items():
+        arr = jnp.asarray(np.asarray(v))
+        cache[k] = jnp.take(table, arr, axis=0) if k in DOC_KEYS else arr
+    return cache
+
+
+def make_cached_train_step(apply_fn: Callable,
+                           optimizer: optax.GradientTransformation,
+                           model_type: str, loss_name: str = "RAW_MSE",
+                           hinge_margin: float = 0.2,
+                           scan_steps: int = 1):
+    """Train step over a device-resident cache: the batch is assembled
+    IN-JIT by gathering [B] whole rows from the cached record arrays
+    (rows are 100s of KB — the gather is bandwidth-trivial, unlike the
+    per-word table gather it replaces). With `scan_steps` > 1 the rows
+    come stacked [S, B] and the updates run under `lax.scan`."""
+    update = _make_update(apply_fn, optimizer, model_type, loss_name,
+                          hinge_margin)
+
+    def gather(cache, rows, weight):
+        batch = {k: jnp.take(v, rows, axis=0) for k, v in cache.items()}
+        batch["weight"] = weight
+        return batch
+
+    if scan_steps > 1:
+        @partial(jax.jit, donate_argnums=_donate())
+        def cached_scan_step(state, cache, rows, weights, rngs):
+            def body(st, xs):
+                r, w, k = xs
+                return update(st, gather(cache, r, w), k)
+
+            state, (losses, sqs, ns) = jax.lax.scan(
+                body, state, (rows, weights, rngs))
+            return state, {"loss": losses[-1], "sq_sum": jnp.sum(sqs),
+                           "n": jnp.sum(ns)}
+
+        return cached_scan_step
+
+    @partial(jax.jit, donate_argnums=_donate())
+    def cached_step(state, cache, rows, weight, rng):
+        state, (loss, sq_sum, n) = update(state,
+                                          gather(cache, rows, weight),
+                                          rng)
+        return state, {"loss": loss, "sq_sum": sq_sum, "n": n}
+
+    return cached_step
 
 
 def make_placer(mesh, stacked: bool = False) -> Callable:
@@ -292,6 +363,71 @@ def train_epoch(train_step, state: TrainState, batcher: Batcher,
     return state, {"MSE": round(sq_sum / max(n, 1.0), 4), **tp.metrics()}
 
 
+def train_epoch_cached(cached_step, cached_scan_step, state: TrainState,
+                       cache: Dict, batcher: Batcher, rng,
+                       scan_steps: int = 1) -> Tuple[TrainState, Dict]:
+    """One epoch over the device-resident cache. `batcher` iterates
+    {"row": [B] indices, "weight": [B]} (a Batcher over
+    {"row": arange(n)}), so the shuffle stream is the record Batcher's
+    exactly and the cached path is bitwise-interchangeable with the
+    uncached one. Padded tail rows gather row 0's records instead of
+    zeros — their weight is 0, so loss and gradients are exactly the
+    padded-batch values (every loss term is weight-masked). Full scan
+    groups run as one dispatch; a smaller trailing group falls back to
+    the per-batch cached step."""
+    from .profiler import Throughput, annotate
+
+    tp = Throughput()
+    sq_sum = jnp.zeros(())
+    n = jnp.zeros(())
+    bs = batcher.batch_size
+    remaining = batcher.n
+    group = []
+    for batch in batcher:
+        rng, step_rng = jax.random.split(rng)
+        group.append((batch["row"].astype(np.int32), batch["weight"],
+                      step_rng, min(bs, remaining)))
+        remaining -= bs
+        if scan_steps > 1 and len(group) == scan_steps:
+            rows = jnp.asarray(np.stack([g[0] for g in group]))
+            ws = jnp.asarray(np.stack([g[1] for g in group]))
+            ks = jnp.stack([g[2] for g in group])
+            with annotate("train_step"):
+                state, m = cached_scan_step(state, cache, rows, ws, ks)
+            sq_sum = sq_sum + m["sq_sum"]
+            n = n + m["n"]
+            tp.add(sum(g[3] for g in group))
+            group = []
+        elif scan_steps <= 1:
+            r, w, k, count = group.pop()
+            with annotate("train_step"):
+                state, m = cached_step(state, cache, jnp.asarray(r),
+                                       jnp.asarray(w), k)
+            sq_sum = sq_sum + m["sq_sum"]
+            n = n + m["n"]
+            tp.add(count)
+    for r, w, k, count in group:  # trailing sub-scan group
+        with annotate("train_step"):
+            state, m = cached_step(state, cache, jnp.asarray(r),
+                                   jnp.asarray(w), k)
+        sq_sum = sq_sum + m["sq_sum"]
+        n = n + m["n"]
+        tp.add(count)
+    sq_sum = float(sq_sum)
+    n = float(n)
+    return state, {"MSE": round(sq_sum / max(n, 1.0), 4), **tp.metrics()}
+
+
+def cache_dtype_for(hp: HyperParams):
+    """The dtype the consuming conv branch casts doc embeddings to —
+    caching in that dtype keeps cached == uncached bitwise (the cast of
+    a frozen-table row commutes with the gather)."""
+    if hp.use_pallas:
+        return (jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32)       # interpret mode stays f32
+    return jnp.dtype(hp.compute_dtype)
+
+
 def train_complete(hp: HyperParams, model, dataset, *,
                    params=None, quiet: bool = True,
                    checkpoint_path: Optional[str] = None, mesh=None):
@@ -349,6 +485,23 @@ def train_complete(hp: HyperParams, model, dataset, *,
                       shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
     val_b = Batcher(val_recs, hp.batch_size)
 
+    use_cache = hp.cache_doc_embeds
+    if use_cache:
+        if hp.family != "review" or hp.model_type == "MPCN":
+            raise ValueError(
+                "cache_doc_embeds pre-embeds the FROZEN word table and "
+                "only applies to deepconn/NARRE/transnet; "
+                f"{hp.model_type!r} has no frozen doc embedding")
+        if mesh is not None:
+            raise ValueError("cache_doc_embeds is single-device for now; "
+                             "leave mesh_shape=(1, 1)")
+        train_cache = build_doc_cache(train_recs, dataset.word_vectors,
+                                      cache_dtype_for(hp))
+        # identical shuffle stream to `train_b` (same seed/epoch keying),
+        # but yielding row indices into the device cache
+        row_b = Batcher({"row": np.arange(train_b.n)}, hp.batch_size,
+                        shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
+
     resume_payload = None
     if checkpoint_path and hp.resume and os.path.exists(checkpoint_path):
         resume_payload = load_checkpoint(checkpoint_path)
@@ -391,13 +544,22 @@ def train_complete(hp: HyperParams, model, dataset, *,
             since_improve = int(resume_payload["extra"].get(
                 "since_improve", 0))
         train_b.set_epoch(start_epoch - 1)
+        if use_cache:
+            row_b.set_epoch(start_epoch - 1)
+            cached_step = make_cached_train_step(
+                apply_fn, optimizer, hp.model_type, hp.loss,
+                hp.hinge_margin)
+            cached_scan_step = (make_cached_train_step(
+                apply_fn, optimizer, hp.model_type, hp.loss,
+                hp.hinge_margin, scan_steps=hp.scan_steps)
+                if hp.scan_steps > 1 else None)
 
         train_step = make_train_step(apply_fn, optimizer, hp.model_type,
                                      hp.loss, hp.hinge_margin)
         scan_step = (make_scan_train_step(apply_fn, optimizer,
                                           hp.model_type, hp.loss,
                                           hp.hinge_margin)
-                     if hp.scan_steps > 1 else None)
+                     if hp.scan_steps > 1 and not use_cache else None)
         place_stacked = (make_placer(mesh, stacked=True)
                          if hp.scan_steps > 1 else None)
         eval_step = make_eval_step(apply_fn, hp.model_type, mesh=mesh)
@@ -409,10 +571,15 @@ def train_complete(hp: HyperParams, model, dataset, *,
         for epoch in range(start_epoch, hp.epochs + 1):
             t0 = time.time()
             epoch_rng = jax.random.fold_in(root_rng, epoch)
-            state, train_metrics = train_epoch(
-                train_step, state, train_b, epoch_rng, place,
-                scan_step=scan_step, scan_steps=hp.scan_steps,
-                place_stacked=place_stacked)
+            if use_cache:
+                state, train_metrics = train_epoch_cached(
+                    cached_step, cached_scan_step, state, train_cache,
+                    row_b, epoch_rng, scan_steps=hp.scan_steps)
+            else:
+                state, train_metrics = train_epoch(
+                    train_step, state, train_b, epoch_rng, place,
+                    scan_step=scan_step, scan_steps=hp.scan_steps,
+                    place_stacked=place_stacked)
             if ranking:
                 rank = eval_ranking(rank_step, state.params, val_recs, hp,
                                     batch_size=hp.batch_size, mesh=mesh)

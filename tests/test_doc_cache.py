@@ -1,0 +1,81 @@
+"""Device-resident embedded-doc cache (hp.cache_doc_embeds): the frozen
+word table is applied once up front; the train step gathers whole cached
+rows by index. Must be bitwise-identical to the uncached path — same
+shuffle stream, same RNG stream, same masked-padding semantics."""
+
+import jax
+import numpy as np
+import pytest
+
+from reviews4rec_tpu.models import build_model
+from reviews4rec_tpu.train.loop import train_complete
+
+
+def _train(dataset, hp):
+    return train_complete(hp, build_model(hp, dataset.word_vectors),
+                          dataset)
+
+
+def _assert_bitwise(p1, p2):
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("model_type", ["deepconn", "NARRE", "transnet"])
+def test_cached_bitwise_equals_uncached(dataset, hp_base, model_type):
+    hp = hp_base.replace(model_type=model_type, epochs=1, batch_size=16,
+                         shuffle_data_every_epoch=True)
+    p1, m1 = _train(dataset, hp)
+    p2, m2 = _train(dataset, hp.replace(cache_doc_embeds=True))
+    assert m1 == m2
+    _assert_bitwise(p1, p2)
+
+
+def test_cached_pallas_interpret_parity(dataset, hp_base):
+    """The Pallas path consumes the cache in its dot dtype (f32 in
+    interpret mode) — cached == uncached bitwise there too."""
+    hp = hp_base.replace(model_type="deepconn", epochs=1, batch_size=16,
+                         use_pallas=True)
+    p1, m1 = _train(dataset, hp)
+    p2, m2 = _train(dataset, hp.replace(cache_doc_embeds=True))
+    assert m1 == m2
+    _assert_bitwise(p1, p2)
+
+
+def test_cached_scan_parity(dataset, hp_base):
+    """cache + scan_steps: scanned cached groups plus the per-batch
+    trailing group reproduce the plain path exactly."""
+    hp = hp_base.replace(model_type="deepconn", epochs=2, batch_size=16)
+    p1, m1 = _train(dataset, hp)
+    p2, m2 = _train(dataset, hp.replace(cache_doc_embeds=True,
+                                        scan_steps=3))
+    assert m1 == m2
+    _assert_bitwise(p1, p2)
+
+
+def test_cached_ranking_loss_parity(dataset, hp_base):
+    """Candidate-grid training (hp.loss) caches the [N, C, ...] grids
+    (user side [N, 1, ...]) and matches the uncached run."""
+    hp = hp_base.replace(model_type="deepconn", epochs=1, batch_size=16,
+                         loss="BPR", num_negs=2)
+    p1, m1 = _train(dataset, hp)
+    p2, m2 = _train(dataset, hp.replace(cache_doc_embeds=True))
+    assert m1 == m2
+    _assert_bitwise(p1, p2)
+
+
+def test_cache_rejected_outside_frozen_towers(dataset, hp_base):
+    with pytest.raises(ValueError, match="frozen"):
+        _train(dataset, hp_base.replace(model_type="MPCN",
+                                        cache_doc_embeds=True))
+    with pytest.raises(ValueError, match="frozen"):
+        _train(dataset, hp_base.replace(model_type="MF_dot",
+                                        cache_doc_embeds=True))
+
+
+def test_cache_rejected_on_mesh(dataset, hp_base):
+    with pytest.raises(ValueError, match="single-device"):
+        _train(dataset, hp_base.replace(model_type="deepconn",
+                                        cache_doc_embeds=True,
+                                        mesh_shape=(4, 2), batch_size=32))
