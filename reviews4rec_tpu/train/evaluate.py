@@ -115,7 +115,56 @@ def evaluate(eval_step, params, batcher: Batcher, hp: HyperParams,
         users_l.append(batch["user"][w])
         items_l.append(batch["item"][w])
     outs = jax.device_get(outs)          # one blocking fetch per split
+    return _reduce_eval(outs, weights, users_l, items_l, user_count,
+                        item_count)
 
+
+def make_cached_eval_step(apply_fn: Callable, model_type: str):
+    """Eval step over a device-resident record cache (hp.cache_doc_embeds,
+    train/loop.py::build_doc_cache): the batch is gathered in-jit from
+    cached rows, so per-epoch validation costs no host transfer and no
+    per-word table gather."""
+
+    @jax.jit
+    def eval_step(params, cache, rows):
+        batch = {k: jnp.take(v, rows, axis=0) for k, v in cache.items()}
+        preds = apply_fn(params, batch, False, jax.random.PRNGKey(0))
+        y = batch["rating"]
+        if model_type in ("transnet", "transnet++"):
+            source, target, trans_loss = preds
+            return {"sq": (source - y) ** 2, "pred": source,
+                    "sq_right": (target - y) ** 2, "trans": trans_loss}
+        return {"sq": (preds - y) ** 2, "pred": preds}
+
+    return eval_step
+
+
+def evaluate_cached(eval_step, params, cache, records, hp: HyperParams,
+                    user_count: np.ndarray, item_count: np.ndarray
+                    ) -> Tuple[Dict, Dict, Dict]:
+    """`evaluate` over the device cache: identical metrics/maps, with
+    only [B] row indices crossing the host boundary per batch. `records`
+    supplies the host-side user/item ids for the count-MSE maps."""
+    n = int(next(iter(records.values())).shape[0])
+    rec_u = np.asarray(records["user"])
+    rec_i = np.asarray(records["item"])
+    outs, weights, users_l, items_l = [], [], [], []
+    for batch in Batcher({"row": np.arange(n)}, hp.batch_size):
+        rows = jnp.asarray(batch["row"].astype(np.int32))
+        outs.append(eval_step(params, cache, rows))
+        w = batch["weight"].astype(bool)
+        weights.append(w)
+        sel = batch["row"][w]
+        users_l.append(rec_u[sel])
+        items_l.append(rec_i[sel])
+    outs = jax.device_get(outs)          # one blocking fetch per split
+    return _reduce_eval(outs, weights, users_l, items_l, user_count,
+                        item_count)
+
+
+def _reduce_eval(outs, weights, users_l, items_l, user_count,
+                 item_count) -> Tuple[Dict, Dict, Dict]:
+    """Host-side reduction shared by `evaluate` / `evaluate_cached`."""
     total_sq, total_n = 0.0, 0.0
     right_sq, trans_sum, batches = 0.0, 0.0, 0.0
     all_sq = []
@@ -132,14 +181,12 @@ def evaluate(eval_step, params, batcher: Batcher, hp: HyperParams,
     sq = np.concatenate(all_sq) if all_sq else np.zeros(0)
     users = np.concatenate(users_l) if users_l else np.zeros(0, int)
     items = np.concatenate(items_l) if items_l else np.zeros(0, int)
-    user_count_mse_map = _count_mse_maps(user_count[users], sq)
-    item_count_mse_map = _count_mse_maps(item_count[items], sq)
-
     metrics = {"MSE": round(total_sq / max(total_n, 1.0), 4)}
     if batches:
         metrics["MSE_right"] = round(right_sq / batches, 4)
         metrics["MSE_transform"] = round(trans_sum / batches, 4)
-    return metrics, user_count_mse_map, item_count_mse_map
+    return (metrics, _count_mse_maps(user_count[users], sq),
+            _count_mse_maps(item_count[items], sq))
 
 
 def make_rank_step(apply_fn: Callable, model_type: str, mesh=None):

@@ -501,6 +501,9 @@ def train_complete(hp: HyperParams, model, dataset, *,
         # but yielding row indices into the device cache
         row_b = Batcher({"row": np.arange(train_b.n)}, hp.batch_size,
                         shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
+        val_cache = (build_doc_cache(val_recs, dataset.word_vectors,
+                                     cache_dtype_for(hp))
+                     if not ranking else None)
 
     resume_payload = None
     if checkpoint_path and hp.resume and os.path.exists(checkpoint_path):
@@ -562,6 +565,10 @@ def train_complete(hp: HyperParams, model, dataset, *,
                      if hp.scan_steps > 1 and not use_cache else None)
         place_stacked = (make_placer(mesh, stacked=True)
                          if hp.scan_steps > 1 else None)
+        if use_cache and not ranking:
+            from .evaluate import evaluate_cached, make_cached_eval_step
+            cached_eval_step = make_cached_eval_step(apply_fn,
+                                                     hp.model_type)
         eval_step = make_eval_step(apply_fn, hp.model_type, mesh=mesh)
         rank_step = (make_rank_step(apply_fn, hp.model_type, mesh=mesh)
                      if ranking else None)
@@ -586,6 +593,10 @@ def train_complete(hp: HyperParams, model, dataset, *,
                 # negated HR@1 so lower-is-better selection is shared
                 metrics = {"train_loss": train_metrics["MSE"], **rank,
                            "MSE": -rank["HR@1"]}
+            elif use_cache:
+                metrics, _, _ = evaluate_cached(
+                    cached_eval_step, state.params, val_cache, val_recs,
+                    hp, dataset.user_count, dataset.item_count)
             else:
                 metrics, _, _ = evaluate(eval_step, state.params, val_b,
                                          hp, dataset.user_count,
