@@ -137,7 +137,8 @@ def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
     from reviews4rec_tpu.train.loop import (TrainState, build_doc_cache,
                                             cache_dtype_for,
                                             make_cached_train_step,
-                                            make_optimizer)
+                                            make_optimizer,
+                                            paired_window_for)
 
     hp = HyperParams(model_type=model_type, batch_size=batch,
                      input_length=INPUT_LEN, latent_size=LATENT,
@@ -146,7 +147,8 @@ def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
     hp = ds.apply_to(hp)
     model = build_model(hp, ds.word_vectors)
     recs = ds.materialize(hp, "train")
-    cache = build_doc_cache(recs, ds.word_vectors, cache_dtype_for(hp))
+    cache = build_doc_cache(recs, ds.word_vectors, cache_dtype_for(hp),
+                            paired_window=paired_window_for(hp))
     n = int(next(iter(recs.values())).shape[0])
     rows = jnp.asarray(np.arange(batch) % n, jnp.int32)
     weight = jnp.ones((batch,), jnp.float32)

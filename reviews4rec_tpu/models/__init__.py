@@ -78,6 +78,14 @@ def build_model(hp: HyperParams, word_vectors=None, mesh=None):
             common.update(use_pallas=True,
                           pallas_interpret=jax.default_backend() != "tpu",
                           fuse_gather=hp.pallas_fuse_gather)
+            if hp.cache_doc_embeds:
+                from ..train.loop import paired_window_for
+                if paired_window_for(hp) is not None:
+                    # the device cache stores paired kernel operands;
+                    # the TextCNN needs the original doc length back
+                    common["prepaired_t"] = (hp.narre_num_words
+                                             if mt == "NARRE"
+                                             else hp.input_length)
     if mt in ("deepconn", "deepconn++"):
         from .deepconn import DeepCoNN
         return DeepCoNN(latent_size=hp.latent_size, dropout=hp.dropout,

@@ -25,6 +25,7 @@ class DeepCoNN(nn.Module):
     pallas_interpret: bool = False
     fuse_gather: bool = True       # fold the word gather into the kernel
     compute_dtype: jnp.dtype = jnp.float32
+    prepaired_t: int = 0           # cache stores paired operands (layers.py)
     seq_mesh: object = None        # time-sharded TextCNN (hp.seq_parallel)
     seq_axis: str = "model"
     seq_batch_axis: object = None
@@ -47,6 +48,7 @@ class DeepCoNN(nn.Module):
                    pallas_interpret=self.pallas_interpret,
                    fuse_gather=self.fuse_gather,
                    compute_dtype=self.compute_dtype,
+                   prepaired_t=self.prepaired_t,
                    seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
                    seq_batch_axis=self.seq_batch_axis)
         wv = frozen_word_table(self, self.word_vectors)

@@ -69,6 +69,11 @@ class TextCNN(nn.Module):
     # conv operand dtype (hp.compute_dtype): bf16 halves the HBM
     # traffic of the conv inputs; accumulation stays f32
     compute_dtype: jnp.dtype = jnp.float32
+    # with use_pallas + the device doc cache: the cache stores the
+    # PADDED PAIRED operand (ops/textcnn_pallas.py::paired_operand), so
+    # the per-step relayout pass disappears; this is the original doc
+    # length (0 = cache not pre-paired)
+    prepaired_t: int = 0
     # sequence parallelism (hp.seq_parallel): shard the time axis over
     # `seq_axis` of `seq_mesh` with a ppermute halo exchange
     # (parallel/sequence.py); takes precedence over use_pallas — the two
@@ -89,18 +94,27 @@ class TextCNN(nn.Module):
         w = self.window
         pre_embedded = (table is not None
                         and jnp.issubdtype(x.dtype, jnp.floating))
+        prepaired = (pre_embedded and self.prepaired_t > 0
+                     and self.use_pallas and self.seq_mesh is None)
         frozen_input = table is not None
         fused = (frozen_input and not pre_embedded and self.use_pallas
                  and self.fuse_gather and self.seq_mesh is None)
         if frozen_input and not fused and not pre_embedded:
             x = jnp.take(table, x, axis=0)
         b, t = x.shape[:2]
-        e = table.shape[1] if fused else x.shape[2]
+        e = (table.shape[1] if fused else
+             x.shape[2] // 2 if prepaired else x.shape[2])
         kernel = self.param("conv_kernel", xavier_uniform(),
                             (w * e, self.num_filters))
         bias = self.param("conv_bias", nn.initializers.zeros,
                           (self.num_filters,))
-        if fused:
+        if prepaired:
+            from ..ops.textcnn_pallas import textcnn_pool_paired
+            dot_dtype = jnp.float32 if self.pallas_interpret \
+                else jnp.bfloat16
+            y = textcnn_pool_paired(x, kernel, bias, self.prepaired_t, w,
+                                    self.pallas_interpret, dot_dtype)
+        elif fused:
             from ..ops.textcnn_pallas import textcnn_pool_embed
             dot_dtype = jnp.float32 if self.pallas_interpret \
                 else jnp.bfloat16

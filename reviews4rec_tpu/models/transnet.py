@@ -41,6 +41,7 @@ class TransNet(nn.Module):
     pallas_interpret: bool = False
     fuse_gather: bool = True       # fold the word gather into the kernel
     compute_dtype: jnp.dtype = jnp.float32
+    prepaired_t: int = 0           # cache stores paired operands (layers.py)
     seq_mesh: object = None        # time-sharded TextCNN (hp.seq_parallel)
     seq_axis: str = "model"
     seq_batch_axis: object = None
@@ -74,6 +75,7 @@ class TransNet(nn.Module):
                    pallas_interpret=self.pallas_interpret,
                    fuse_gather=self.fuse_gather,
                    compute_dtype=self.compute_dtype,
+                   prepaired_t=self.prepaired_t,
                    seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
                    seq_batch_axis=self.seq_batch_axis)
 

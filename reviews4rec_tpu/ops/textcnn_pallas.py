@@ -458,19 +458,35 @@ def _backward_paired_dg_only(x, kernel, g, idx, window, interpret,
                              dot_dtype):
     """dkernel from the paired backward with the dx path compiled out."""
     b, t, e = x.shape
-    f = kernel.shape[1]
     halo = window - 1
     t_out = t + halo
-    f_pad = max(-(-f // 128) * 128, 128)
-    b_tile = min(b, 32)
     tp = 64
-    carry_rows = 8
-
-    bt_pad = -(-b // b_tile) * b_tile
     n_chunks = -(-(t_out + 2) // (2 * tp))
     l_pad = 2 * n_chunks * tp
+    b_tile = min(b, 32)
+    bt_pad = -(-b // b_tile) * b_tile
     xp = jnp.pad(x, ((0, bt_pad - b), (halo, l_pad - t - halo), (0, 0)))
     xp = xp.reshape(bt_pad, n_chunks * tp, 2 * e).astype(dot_dtype)
+    return _dg_only_from_xp(xp, kernel, g, idx, window, interpret,
+                            dot_dtype)
+
+
+def _dg_only_from_xp(xp, kernel, g, idx, window, interpret, dot_dtype):
+    """dkernel from an already padded/paired flat operand xp
+    [bt_pad, L2, 2E] (the layout `paired_operand` caches; bt_pad is a
+    b_tile multiple): the tp=64 chunking is a pure view of the same
+    flat array the tp=128 forward reads — trailing pair-rows past the
+    backward's own l_pad only emit all-zero gmask contributions."""
+    bt_pad, L2, lanes = xp.shape
+    e = lanes // 2
+    f = kernel.shape[1]
+    b = g.shape[0]
+    f_pad = max(-(-f // 128) * 128, 128)
+    b_tile = min(bt_pad, 32)
+    tp = 64
+    carry_rows = 8
+    n_chunks = L2 // tp
+
     gp = jnp.pad(g, ((0, bt_pad - b), (0, f_pad - f)))
     ip = jnp.pad(idx, ((0, bt_pad - b), (0, f_pad - f)),
                  constant_values=-1)
@@ -737,3 +753,73 @@ def _bwd_embed(window, interpret, dot_dtype, res, g):
 
 
 textcnn_pool_embed.defvjp(_fwd_embed, _bwd_embed)
+
+
+# ---------------------------------------------------------------------
+# Pre-paired operand entry: with the device embedding cache
+# (hp.cache_doc_embeds) the [B, T, E] doc tensor is static for the whole
+# run, so its padded paired relayout — measured as expensive as the
+# kernel itself, and built TWICE per tower (forward + dG backward) — is
+# hoisted out of the step entirely: the cache stores `paired_operand`'s
+# output and both kernels consume it directly (the tp=64 backward
+# chunking is a pure view of the same flat array as the tp=128 forward).
+# ---------------------------------------------------------------------
+
+def paired_operand(x: jnp.ndarray, window: int, dot_dtype) -> jnp.ndarray:
+    """[B, T, E] float docs -> the flat padded paired operand
+    [B, L2, 2E] (L2 = l_pad/2) that `textcnn_pool_paired` consumes.
+    Identical bytes to what `_forward_paired` builds in-step (pad ->
+    pair-reshape -> cast), computed once at cache-build time. Requires
+    2E == 128 and window <= 3 (the paired-layout condition)."""
+    b, t, e = x.shape
+    assert 2 * e == 128 and window <= 3, (e, window)
+    halo, _, _, tp, _, n_chunks, l_pad = _paired_geometry(b, t, window)
+    xp = jnp.pad(x, ((0, 0), (halo, l_pad - t - halo), (0, 0)))
+    return xp.reshape(b, l_pad // 2, 2 * e).astype(dot_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def textcnn_pool_paired(xp, kernel, bias, t: int, window: int = 3,
+                        interpret: bool = False, dot_dtype=jnp.float32):
+    """`textcnn_pool` over a pre-paired operand (`paired_operand`):
+    [B, L2, 2E] -> [B, F]. `t` is the original (unpadded) doc length.
+    The operand comes from the FROZEN word table, so its cotangent is
+    dead (dG-only backward, no relayout pass)."""
+    out, _ = _forward_prepaired(xp, kernel, bias, t, window, interpret,
+                                dot_dtype)
+    return out
+
+
+def _forward_prepaired(xp, kernel, bias, t, window, interpret, dot_dtype):
+    b = xp.shape[0]
+    halo, t_out, b_tile, tp, bt_pad, n_chunks, l_pad = \
+        _paired_geometry(b, t, window)
+    assert 2 * xp.shape[1] == l_pad, (xp.shape, l_pad)
+    if bt_pad != b:
+        xp = jnp.pad(xp, ((0, bt_pad - b), (0, 0), (0, 0)))
+    return _paired_call(xp.astype(dot_dtype), kernel, bias, b, window,
+                        t_out, b_tile, tp, interpret, dot_dtype)
+
+
+def _fwd_prepaired(xp, kernel, bias, t, window, interpret, dot_dtype):
+    out, idx = _forward_prepaired(xp, kernel, bias, t, window, interpret,
+                                  dot_dtype)
+    return out, (xp, kernel, out, idx)
+
+
+def _bwd_prepaired(t, window, interpret, dot_dtype, res, g):
+    xp, kernel, out, idx = res
+    b = xp.shape[0]
+    b_tile = min(b, 32)
+    bt_pad = -(-b // b_tile) * b_tile
+    if bt_pad != b:
+        xp = jnp.pad(xp, ((0, bt_pad - b), (0, 0), (0, 0)))
+    # ReLU gate: a clamped-to-zero max contributes no gradient
+    g = jnp.where(out > 0, g, 0.0)
+    dkernel = _dg_only_from_xp(xp.astype(dot_dtype), kernel, g, idx,
+                               window, interpret, dot_dtype)
+    # frozen-table operand: zero cotangent, DCE'd behind stop_gradient
+    return jnp.zeros_like(xp), dkernel, jnp.sum(g, axis=0)
+
+
+textcnn_pool_paired.defvjp(_fwd_prepaired, _bwd_prepaired)

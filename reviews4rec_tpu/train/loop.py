@@ -199,7 +199,8 @@ def make_scan_train_step(apply_fn: Callable,
 DOC_KEYS = ("user_doc", "item_doc", "this_doc")
 
 
-def build_doc_cache(records: Dict, word_vectors, dtype) -> Dict:
+def build_doc_cache(records: Dict, word_vectors, dtype,
+                    paired_window: Optional[int] = None) -> Dict:
     """Device-resident record cache with the frozen-table doc tensors
     PRE-EMBEDDED (int ids [..., T] -> float [..., T, E]): the word table
     never changes, so each example's doc embedding is static for the
@@ -207,13 +208,40 @@ def build_doc_cache(records: Dict, word_vectors, dtype) -> Dict:
     record array is device_put as-is; the per-step host input shrinks to
     the [B] row indices. `dtype` must match what the consuming conv
     branch would cast to (bf16 for the TPU Pallas path, hp.compute_dtype
-    for the XLA path) so cached and uncached runs are bitwise-identical."""
+    for the XLA path) so cached and uncached runs are bitwise-identical.
+
+    With `paired_window` (the Pallas paired-layout path,
+    `paired_window_for`), docs are stored as the kernel's PADDED PAIRED
+    operand ([..., T, E] -> [..., L2, 2E], textcnn_pallas.paired_operand)
+    so the per-step relayout pass — as expensive as the kernel itself,
+    and otherwise built twice per tower (forward + backward) — is
+    hoisted out of the step entirely."""
     table = jnp.asarray(word_vectors).astype(dtype)
     cache = {}
     for k, v in records.items():
         arr = jnp.asarray(np.asarray(v))
-        cache[k] = jnp.take(table, arr, axis=0) if k in DOC_KEYS else arr
+        if k in DOC_KEYS:
+            emb = jnp.take(table, arr, axis=0)
+            if paired_window is not None:
+                from ..ops.textcnn_pallas import paired_operand
+                lead, tail = emb.shape[:-2], emb.shape[-2:]
+                pp = paired_operand(emb.reshape((-1,) + tail),
+                                    paired_window, dtype)
+                emb = pp.reshape(lead + pp.shape[1:])
+            cache[k] = emb
+        else:
+            cache[k] = arr
     return cache
+
+
+def paired_window_for(hp: HyperParams) -> Optional[int]:
+    """Conv window when the doc cache should store Pallas paired
+    operands; None when the plain [..., T, E] layout applies (XLA path,
+    fused-gather A/B, or a word width the paired layout can't take)."""
+    if (hp.use_pallas and hp.word_embed_size == 64
+            and not hp.pallas_fuse_gather and not hp.seq_parallel):
+        return 3  # the TextCNN window (reference geometry)
+    return None
 
 
 def make_cached_train_step(apply_fn: Callable,
@@ -495,14 +523,17 @@ def train_complete(hp: HyperParams, model, dataset, *,
         if mesh is not None:
             raise ValueError("cache_doc_embeds is single-device for now; "
                              "leave mesh_shape=(1, 1)")
+        pw = paired_window_for(hp)
         train_cache = build_doc_cache(train_recs, dataset.word_vectors,
-                                      cache_dtype_for(hp))
+                                      cache_dtype_for(hp),
+                                      paired_window=pw)
         # identical shuffle stream to `train_b` (same seed/epoch keying),
         # but yielding row indices into the device cache
         row_b = Batcher({"row": np.arange(train_b.n)}, hp.batch_size,
                         shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
         val_cache = (build_doc_cache(val_recs, dataset.word_vectors,
-                                     cache_dtype_for(hp))
+                                     cache_dtype_for(hp),
+                                     paired_window=pw)
                      if not ranking else None)
 
     resume_payload = None

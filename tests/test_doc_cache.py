@@ -43,6 +43,19 @@ def test_cached_pallas_interpret_parity(dataset, hp_base):
     _assert_bitwise(p1, p2)
 
 
+@pytest.mark.parametrize("model_type", ["NARRE", "transnet"])
+def test_cached_pallas_prepaired_other_towers(dataset, hp_base,
+                                              model_type):
+    """The paired-operand cache layout (per-review for NARRE, three
+    towers for transnet) stays bitwise with the uncached Pallas path."""
+    hp = hp_base.replace(model_type=model_type, epochs=1, batch_size=16,
+                         use_pallas=True)
+    p1, m1 = _train(dataset, hp)
+    p2, m2 = _train(dataset, hp.replace(cache_doc_embeds=True))
+    assert m1 == m2
+    _assert_bitwise(p1, p2)
+
+
 def test_cached_scan_parity(dataset, hp_base):
     """cache + scan_steps: scanned cached groups plus the per-batch
     trailing group reproduce the plain path exactly."""
