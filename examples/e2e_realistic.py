@@ -151,7 +151,9 @@ def main():
         results[mt]["wall_s"] = round(time.time() - t0, 1)
         print(f"{mt}: {results[mt]}", flush=True)
 
-    md = os.path.join(REPO, "saved_logs", "E2E_RESULTS.md")
+    # committed alongside the script (saved_logs/ is gitignored; the
+    # staircase table is a repo artifact the README points at)
+    md = os.path.join(REPO, "examples", "E2E_RESULTS.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
     with open(md, "w") as f:
         f.write("# End-to-end run on realistic synthetic Amazon-style "

@@ -193,6 +193,83 @@ def test_tpu_parity_production_shape():
         < 2e-2
 
 
+def test_prepaired_matches_unpaired_fwd_and_grads():
+    """textcnn_pool_paired over paired_operand's cached layout must
+    match textcnn_pool on the raw docs in value and kernel/bias grads
+    (the relayout is hoisted, not changed)."""
+    from reviews4rec_tpu.ops.textcnn_pallas import (paired_operand,
+                                                    textcnn_pool,
+                                                    textcnn_pool_paired)
+
+    rng = np.random.default_rng(11)
+    b, t, e, f, w = 5, 70, 64, 100, 3
+    x = jnp.asarray(rng.normal(size=(b, t, e)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(w * e, f)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    xp = paired_operand(x, w, jnp.float32)
+
+    ref = textcnn_pool(x, kernel, bias, w, True, jnp.float32, False)
+    got = textcnn_pool_paired(xp, kernel, bias, t, w, True, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_ref(k, bb):
+        return jnp.sum(textcnn_pool(x, k, bb, w, True, jnp.float32,
+                                    False) ** 2)
+
+    def loss_pp(k, bb):
+        return jnp.sum(textcnn_pool_paired(xp, k, bb, t, w, True,
+                                           jnp.float32) ** 2)
+
+    gk_r, gb_r = jax.grad(loss_ref, argnums=(0, 1))(kernel, bias)
+    gk_p, gb_p = jax.grad(loss_pp, argnums=(0, 1))(kernel, bias)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_r),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-TPU parity; run with R4R_TEST_TPU=1")
+def test_tpu_prepaired_production_shape():
+    """On-hardware parity for the paired-operand entry (the doc-cache
+    hot path) at the production geometry, forward + kernel/bias grads
+    vs the unpaired compiled kernel — identical math, so tight
+    tolerances."""
+    from reviews4rec_tpu.ops.textcnn_pallas import (paired_operand,
+                                                    textcnn_pool,
+                                                    textcnn_pool_paired)
+
+    rng = np.random.default_rng(2)
+    b, t, e, f, w = 256, 1000, 64, 100, 3
+    x = jnp.asarray((rng.normal(size=(b, t, e)) / 8).astype(np.float32))
+    kernel = jnp.asarray(
+        (rng.normal(size=(w * e, f)) / np.sqrt(w * e)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(f,)).astype(np.float32))
+    xp = paired_operand(x, w, jnp.bfloat16)
+
+    ref = textcnn_pool(x, kernel, bias, w, False, jnp.bfloat16, False)
+    got = textcnn_pool_paired(xp, kernel, bias, t, w, False, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_ref(k, bb):
+        return jnp.sum(textcnn_pool(x, k, bb, w, False, jnp.bfloat16,
+                                    False) ** 2)
+
+    def loss_pp(k, bb):
+        return jnp.sum(textcnn_pool_paired(xp, k, bb, t, w, False,
+                                           jnp.bfloat16) ** 2)
+
+    gk_r, gb_r = jax.grad(loss_ref, argnums=(0, 1))(kernel, bias)
+    gk_p, gb_p = jax.grad(loss_pp, argnums=(0, 1))(kernel, bias)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_r),
+                               rtol=1e-4, atol=1e-4)
+    kscale = max(np.abs(np.asarray(gk_r)).max(), 1e-9)
+    assert np.abs(np.asarray(gk_p) - np.asarray(gk_r)).max() / kscale \
+        < 1e-3
+
+
 def test_need_dx_false_same_kernel_grads():
     """need_dx=False (frozen-table inputs) must produce identical
     kernel/bias gradients to the full backward, paired + generic."""
