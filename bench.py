@@ -136,6 +136,7 @@ def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
     from reviews4rec_tpu.train.evaluate import make_apply_fn
     from reviews4rec_tpu.train.loop import (TrainState, build_doc_cache,
                                             cache_dtype_for,
+                                            doc_cache_keys,
                                             make_cached_train_step,
                                             make_optimizer,
                                             paired_window_for)
@@ -148,7 +149,8 @@ def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
     model = build_model(hp, ds.word_vectors)
     recs = ds.materialize(hp, "train")
     cache = build_doc_cache(recs, ds.word_vectors, cache_dtype_for(hp),
-                            paired_window=paired_window_for(hp))
+                            paired_window=paired_window_for(hp),
+                            keys=doc_cache_keys(hp.model_type))
     n = int(next(iter(recs.values())).shape[0])
     rows = jnp.asarray(np.arange(batch) % n, jnp.int32)
     weight = jnp.ones((batch,), jnp.float32)
@@ -230,6 +232,8 @@ def slope_interleaved(runs, steps: int = STEPS, rounds: int = 5):
             lo = run(k_lo)
             hi = run(steps)
             slopes[name].append((hi - lo) / (steps - k_lo))
+    import statistics
+
     out, spread = {}, {}
     for name, ss in slopes.items():
         good = sorted(s for s in ss if s > 0)
@@ -237,7 +241,7 @@ def slope_interleaved(runs, steps: int = STEPS, rounds: int = 5):
             raise RuntimeError(
                 f"{name}: non-positive slope in every round ({ss}); "
                 f"timing is unusable")
-        med = good[len(good) // 2]
+        med = statistics.median(good)
         out[name] = med
         spread[name] = (good[-1] - good[0]) / med
     return out, spread

@@ -117,12 +117,25 @@ def main(argv=None) -> int:
 
     if not is_primary():
         return 0
-    if args.save_predictions and hp.family in ("id", "review"):
-        from .data.corpus import ReviewDataset
-        from .serve import save_predictions
-        paths = save_predictions(hp, ReviewDataset.load(hp.data_dir()))
-        for split, path in paths.items():
-            print(f"predictions[{split}]: {path}", file=sys.stderr)
+    if args.save_predictions:
+        if hp.family in ("id", "review"):
+            from .data.corpus import ReviewDataset
+            from .serve import save_predictions
+            paths = save_predictions(hp, ReviewDataset.load(hp.data_dir()))
+            for split, path in paths.items():
+                print(f"predictions[{split}]: {path}", file=sys.stderr)
+        elif hp.family == "topic":
+            print("--save_predictions: HFT already writes its per-split "
+                  "prediction artifacts during training (models/hft.py "
+                  "run_hft) — see "
+                  f"{hp.log_dir}/{hp.run_tag()}_HFT_*_results",
+                  file=sys.stderr)
+        else:
+            print(f"--save_predictions is not supported for the "
+                  f"{hp.family!r} family ({hp.model_type}): neighborhood "
+                  f"models have no persisted checkpoint to score from — "
+                  f"use reviews4rec_tpu.models.neighbors.run_neighbor "
+                  f"in-process instead", file=sys.stderr)
     if args.json:
         print(json.dumps(metrics))
     else:

@@ -126,8 +126,13 @@ def make_cached_eval_step(apply_fn: Callable, model_type: str):
     per-word table gather."""
 
     @jax.jit
-    def eval_step(params, cache, rows):
+    def eval_step(params, cache, rows, weight):
         batch = {k: jnp.take(v, rows, axis=0) for k, v in cache.items()}
+        # the Batcher's padding mask: padded tail rows gather row 0's
+        # records, and without the mask they would enter the model's own
+        # weight-masked terms (transnet's trans_loss) with weight 1,
+        # breaking the 'identical metrics' contract with `evaluate`
+        batch["weight"] = weight
         preds = apply_fn(params, batch, False, jax.random.PRNGKey(0))
         y = batch["rating"]
         if model_type in ("transnet", "transnet++"):
@@ -151,7 +156,8 @@ def evaluate_cached(eval_step, params, cache, records, hp: HyperParams,
     outs, weights, users_l, items_l = [], [], [], []
     for batch in Batcher({"row": np.arange(n)}, hp.batch_size):
         rows = jnp.asarray(batch["row"].astype(np.int32))
-        outs.append(eval_step(params, cache, rows))
+        outs.append(eval_step(params, cache, rows,
+                              jnp.asarray(batch["weight"])))
         w = batch["weight"].astype(bool)
         weights.append(w)
         sel = batch["row"][w]

@@ -199,8 +199,21 @@ def make_scan_train_step(apply_fn: Callable,
 DOC_KEYS = ("user_doc", "item_doc", "this_doc")
 
 
+def doc_cache_keys(model_type: str) -> Tuple[str, ...]:
+    """The doc tensors `model_type` actually reads. deepconn/NARRE never
+    consume `this_doc` (models/deepconn.py:42-45, narre.py:52-56), so
+    caching it would carry an unused [T, E]/[R, W, E] float array per
+    example — ~50% more HBM than the ~2*N*T*E budget the
+    cache_doc_embeds doc sizes against. Only transnet's target tower
+    reads it (models/transnet.py:59-62)."""
+    if model_type in ("transnet", "transnet++"):
+        return DOC_KEYS
+    return ("user_doc", "item_doc")
+
+
 def build_doc_cache(records: Dict, word_vectors, dtype,
-                    paired_window: Optional[int] = None) -> Dict:
+                    paired_window: Optional[int] = None,
+                    keys: Tuple[str, ...] = DOC_KEYS) -> Dict:
     """Device-resident record cache with the frozen-table doc tensors
     PRE-EMBEDDED (int ids [..., T] -> float [..., T, E]): the word table
     never changes, so each example's doc embedding is static for the
@@ -215,10 +228,16 @@ def build_doc_cache(records: Dict, word_vectors, dtype,
     operand ([..., T, E] -> [..., L2, 2E], textcnn_pallas.paired_operand)
     so the per-step relayout pass — as expensive as the kernel itself,
     and otherwise built twice per tower (forward + backward) — is
-    hoisted out of the step entirely."""
+    hoisted out of the step entirely.
+
+    `keys` limits which DOC_KEYS are cached (doc_cache_keys): a doc
+    tensor the model never reads is dropped from the cache entirely —
+    no HBM, no per-step gather bandwidth."""
     table = jnp.asarray(word_vectors).astype(dtype)
     cache = {}
     for k, v in records.items():
+        if k in DOC_KEYS and k not in keys:
+            continue
         arr = jnp.asarray(np.asarray(v))
         if k in DOC_KEYS:
             emb = jnp.take(table, arr, axis=0)
@@ -524,16 +543,17 @@ def train_complete(hp: HyperParams, model, dataset, *,
             raise ValueError("cache_doc_embeds is single-device for now; "
                              "leave mesh_shape=(1, 1)")
         pw = paired_window_for(hp)
+        ck = doc_cache_keys(hp.model_type)
         train_cache = build_doc_cache(train_recs, dataset.word_vectors,
                                       cache_dtype_for(hp),
-                                      paired_window=pw)
+                                      paired_window=pw, keys=ck)
         # identical shuffle stream to `train_b` (same seed/epoch keying),
         # but yielding row indices into the device cache
         row_b = Batcher({"row": np.arange(train_b.n)}, hp.batch_size,
                         shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
         val_cache = (build_doc_cache(val_recs, dataset.word_vectors,
                                      cache_dtype_for(hp),
-                                     paired_window=pw)
+                                     paired_window=pw, keys=ck)
                      if not ranking else None)
 
     resume_payload = None

@@ -56,6 +56,35 @@ def test_cached_pallas_prepaired_other_towers(dataset, hp_base,
     _assert_bitwise(p1, p2)
 
 
+def test_cached_eval_masks_padded_tail(dataset, hp_base):
+    """Regression: a batch size that does NOT divide the val split makes
+    the row Batcher pad the tail batch; the padded rows gather row 0's
+    records, and without the weight mask they entered transnet's
+    trans_loss with weight 1 — cached val metrics diverged from
+    uncached (2.0204 vs 2.0159 observed)."""
+    hp = hp_base.replace(model_type="transnet", epochs=1, batch_size=13)
+    p1, m1 = _train(dataset, hp)
+    p2, m2 = _train(dataset, hp.replace(cache_doc_embeds=True))
+    assert m1 == m2
+    _assert_bitwise(p1, p2)
+
+
+def test_doc_cache_drops_unread_docs(dataset, hp_base):
+    """deepconn never reads this_doc: the cache must not carry it
+    (ADVICE r3: an unused [T, E] float per example is ~50% extra HBM)."""
+    from reviews4rec_tpu.train.loop import (build_doc_cache,
+                                            doc_cache_keys)
+    hp = hp_base.replace(model_type="deepconn")
+    recs = dataset.materialize(hp, "train")
+    cache = build_doc_cache(recs, dataset.word_vectors, "float32",
+                            keys=doc_cache_keys("deepconn"))
+    assert "this_doc" not in cache
+    assert cache["user_doc"].ndim == 3  # pre-embedded [N, T, E]
+    full = build_doc_cache(recs, dataset.word_vectors, "float32",
+                           keys=doc_cache_keys("transnet"))
+    assert "this_doc" in full
+
+
 def test_cached_scan_parity(dataset, hp_base):
     """cache + scan_steps: scanned cached groups plus the per-batch
     trailing group reproduce the plain path exactly."""
