@@ -121,3 +121,29 @@ def host_slice(batch, axis: int = 0):
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_cache(cache, mesh: Mesh):
+    """Row-shard a device-resident record cache (train/loop.py::
+    build_doc_cache) over the data axis: every array's dim 0 is the
+    example row, so P("data") splits the cache's HBM footprint across
+    the axis. Rows are padded to a multiple of the axis size (pad rows
+    are never indexed — row indices come from arange(n) batchers).
+
+    The in-jit batch gather (make_cached_train_step) indexes this with
+    GLOBAL row ids sharded P("data") on the batch dim; GSPMD lowers it
+    to the owner-computes masked-gather + psum exchange over ICI —
+    expected (n-1)/n of a shuffled batch's rows cross the interconnect,
+    the unavoidable cost of a shuffled stream over a sharded store."""
+    import jax.numpy as jnp
+
+    n_data = mesh.shape[mesh.axis_names[0]]
+    out = {}
+    for k, v in cache.items():
+        pad = (-v.shape[0]) % n_data
+        if pad:
+            v = jnp.concatenate(
+                [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+        spec = P(mesh.axis_names[0], *([None] * (v.ndim - 1)))
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out

@@ -145,19 +145,25 @@ def make_cached_eval_step(apply_fn: Callable, model_type: str):
 
 
 def evaluate_cached(eval_step, params, cache, records, hp: HyperParams,
-                    user_count: np.ndarray, item_count: np.ndarray
-                    ) -> Tuple[Dict, Dict, Dict]:
+                    user_count: np.ndarray, item_count: np.ndarray,
+                    mesh=None) -> Tuple[Dict, Dict, Dict]:
     """`evaluate` over the device cache: identical metrics/maps, with
     only [B] row indices crossing the host boundary per batch. `records`
-    supplies the host-side user/item ids for the count-MSE maps."""
+    supplies the host-side user/item ids for the count-MSE maps. With a
+    mesh, the row/weight batches shard over the data axis (the cache is
+    row-sharded by parallel.mesh.shard_cache)."""
+    from ..train.loop import make_placer
+
+    place = make_placer(mesh)
     n = int(next(iter(records.values())).shape[0])
     rec_u = np.asarray(records["user"])
     rec_i = np.asarray(records["item"])
     outs, weights, users_l, items_l = [], [], [], []
     for batch in Batcher({"row": np.arange(n)}, hp.batch_size):
-        rows = jnp.asarray(batch["row"].astype(np.int32))
-        outs.append(eval_step(params, cache, rows,
-                              jnp.asarray(batch["weight"])))
+        placed = place({"row": batch["row"].astype(np.int32),
+                        "weight": batch["weight"]})
+        outs.append(eval_step(params, cache, placed["row"],
+                              placed["weight"]))
         w = batch["weight"].astype(bool)
         weights.append(w)
         sel = batch["row"][w]

@@ -412,7 +412,10 @@ def train_epoch(train_step, state: TrainState, batcher: Batcher,
 
 def train_epoch_cached(cached_step, cached_scan_step, state: TrainState,
                        cache: Dict, batcher: Batcher, rng,
-                       scan_steps: int = 1) -> Tuple[TrainState, Dict]:
+                       scan_steps: int = 1,
+                       place: Optional[Callable] = None,
+                       place_stacked: Optional[Callable] = None
+                       ) -> Tuple[TrainState, Dict]:
     """One epoch over the device-resident cache. `batcher` iterates
     {"row": [B] indices, "weight": [B]} (a Batcher over
     {"row": arange(n)}), so the shuffle stream is the record Batcher's
@@ -421,9 +424,17 @@ def train_epoch_cached(cached_step, cached_scan_step, state: TrainState,
     zeros — their weight is 0, so loss and gradients are exactly the
     padded-batch values (every loss term is weight-masked). Full scan
     groups run as one dispatch; a smaller trailing group falls back to
-    the per-batch cached step."""
+    the per-batch cached step.
+
+    With a mesh, `place`/`place_stacked` shard the {"row", "weight"}
+    batches over the data axis (make_placer) — the cache itself is
+    row-sharded by parallel.mesh.shard_cache."""
     from .profiler import Throughput, annotate
 
+    if place is None:
+        place = make_placer(None)
+    if place_stacked is None:
+        place_stacked = make_placer(None)
     tp = Throughput()
     sq_sum = jnp.zeros(())
     n = jnp.zeros(())
@@ -436,27 +447,31 @@ def train_epoch_cached(cached_step, cached_scan_step, state: TrainState,
                       step_rng, min(bs, remaining)))
         remaining -= bs
         if scan_steps > 1 and len(group) == scan_steps:
-            rows = jnp.asarray(np.stack([g[0] for g in group]))
-            ws = jnp.asarray(np.stack([g[1] for g in group]))
+            placed = place_stacked(
+                {"row": np.stack([g[0] for g in group]),
+                 "weight": np.stack([g[1] for g in group])})
             ks = jnp.stack([g[2] for g in group])
             with annotate("train_step"):
-                state, m = cached_scan_step(state, cache, rows, ws, ks)
+                state, m = cached_scan_step(state, cache, placed["row"],
+                                            placed["weight"], ks)
             sq_sum = sq_sum + m["sq_sum"]
             n = n + m["n"]
             tp.add(sum(g[3] for g in group))
             group = []
         elif scan_steps <= 1:
             r, w, k, count = group.pop()
+            placed = place({"row": r, "weight": w})
             with annotate("train_step"):
-                state, m = cached_step(state, cache, jnp.asarray(r),
-                                       jnp.asarray(w), k)
+                state, m = cached_step(state, cache, placed["row"],
+                                       placed["weight"], k)
             sq_sum = sq_sum + m["sq_sum"]
             n = n + m["n"]
             tp.add(count)
     for r, w, k, count in group:  # trailing sub-scan group
+        placed = place({"row": r, "weight": w})
         with annotate("train_step"):
-            state, m = cached_step(state, cache, jnp.asarray(r),
-                                   jnp.asarray(w), k)
+            state, m = cached_step(state, cache, placed["row"],
+                                   placed["weight"], k)
         sq_sum = sq_sum + m["sq_sum"]
         n = n + m["n"]
         tp.add(count)
@@ -539,9 +554,12 @@ def train_complete(hp: HyperParams, model, dataset, *,
                 "cache_doc_embeds pre-embeds the FROZEN word table and "
                 "only applies to deepconn/NARRE/transnet; "
                 f"{hp.model_type!r} has no frozen doc embedding")
-        if mesh is not None:
-            raise ValueError("cache_doc_embeds is single-device for now; "
-                             "leave mesh_shape=(1, 1)")
+        if mesh is not None and jax.process_count() > 1:
+            raise ValueError(
+                "cache_doc_embeds + multi-host is unsupported: the cache "
+                "is built as one global device array per split, which a "
+                "multi-process runtime cannot device_put; drop the cache "
+                "or run single-host")
         pw = paired_window_for(hp)
         ck = doc_cache_keys(hp.model_type)
         train_cache = build_doc_cache(train_recs, dataset.word_vectors,
@@ -555,6 +573,14 @@ def train_complete(hp: HyperParams, model, dataset, *,
                                      cache_dtype_for(hp),
                                      paired_window=pw, keys=ck)
                      if not ranking else None)
+        if mesh is not None:
+            # compose the cache with the mesh: row-shard every cache
+            # array over the data axis; the jitted gather then exchanges
+            # batch rows over ICI (see parallel.mesh.shard_cache)
+            from ..parallel.mesh import shard_cache
+            train_cache = shard_cache(train_cache, mesh)
+            if val_cache is not None:
+                val_cache = shard_cache(val_cache, mesh)
 
     resume_payload = None
     if checkpoint_path and hp.resume and os.path.exists(checkpoint_path):
@@ -632,7 +658,8 @@ def train_complete(hp: HyperParams, model, dataset, *,
             if use_cache:
                 state, train_metrics = train_epoch_cached(
                     cached_step, cached_scan_step, state, train_cache,
-                    row_b, epoch_rng, scan_steps=hp.scan_steps)
+                    row_b, epoch_rng, scan_steps=hp.scan_steps,
+                    place=place, place_stacked=place_stacked)
             else:
                 state, train_metrics = train_epoch(
                     train_step, state, train_b, epoch_rng, place,
@@ -647,7 +674,7 @@ def train_complete(hp: HyperParams, model, dataset, *,
             elif use_cache:
                 metrics, _, _ = evaluate_cached(
                     cached_eval_step, state.params, val_cache, val_recs,
-                    hp, dataset.user_count, dataset.item_count)
+                    hp, dataset.user_count, dataset.item_count, mesh=mesh)
             else:
                 metrics, _, _ = evaluate(eval_step, state.params, val_b,
                                          hp, dataset.user_count,

@@ -116,8 +116,29 @@ def test_cache_rejected_outside_frozen_towers(dataset, hp_base):
                                         cache_doc_embeds=True))
 
 
-def test_cache_rejected_on_mesh(dataset, hp_base):
-    with pytest.raises(ValueError, match="single-device"):
-        _train(dataset, hp_base.replace(model_type="deepconn",
-                                        cache_doc_embeds=True,
-                                        mesh_shape=(4, 2), batch_size=32))
+def test_cached_mesh_matches_single_device(dataset, hp_base):
+    """cache_doc_embeds composes with the mesh: the cache is row-sharded
+    over the data axis (parallel.mesh.shard_cache) and the full product
+    path (api.run: train + cached val eval + test eval + ranking)
+    bitwise-matches the single-device cached run."""
+    from reviews4rec_tpu.api import run
+
+    hp = hp_base.replace(model_type="deepconn", epochs=1, batch_size=32,
+                         cache_doc_embeds=True, save_model=False,
+                         shuffle_data_every_epoch=True)
+    m1, _, _ = run(hp, dataset)
+    m2, _, _ = run(hp.replace(mesh_shape=(4, 2)), dataset)
+    assert m1 == m2
+
+
+def test_cached_scan_mesh_matches_single_device(dataset, hp_base):
+    """cache + scan_steps + mesh: the stacked [S, B] row batches shard
+    P(None, 'data') and still reproduce the single-device run."""
+    from reviews4rec_tpu.api import run
+
+    hp = hp_base.replace(model_type="deepconn", epochs=1, batch_size=16,
+                         cache_doc_embeds=True, scan_steps=2,
+                         save_model=False)
+    m1, _, _ = run(hp, dataset)
+    m2, _, _ = run(hp.replace(mesh_shape=(4, 2), batch_size=16), dataset)
+    assert m1 == m2
