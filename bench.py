@@ -148,9 +148,10 @@ def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
     hp = ds.apply_to(hp)
     model = build_model(hp, ds.word_vectors)
     recs = ds.materialize(hp, "train")
+    embed_keys, id_keys = doc_cache_keys(hp.model_type)
     cache = build_doc_cache(recs, ds.word_vectors, cache_dtype_for(hp),
                             paired_window=paired_window_for(hp),
-                            keys=doc_cache_keys(hp.model_type))
+                            keys=embed_keys, id_keys=id_keys)
     n = int(next(iter(recs.values())).shape[0])
     rows = jnp.asarray(np.arange(batch) % n, jnp.int32)
     weight = jnp.ones((batch,), jnp.float32)

@@ -13,9 +13,13 @@ python main.py), exercised through this framework's real CLIs:
    HFT, MPCN} --dataset e2e --epochs 25 --early_stop 3 --json` and
    record the MSE/HR@1 staircase against the offset-only and
    offset+bias anchors HFT prints (reference HFT/language.hpp:129-145).
+   deepconn++ runs the TPU perf path (pallas + item-side doc cache +
+   scan-over-microbatches); HR@10/NDCG@10 use wide 1+99 candidate sets
+   (--eval_num_negs 99) so they are real measurements, not the
+   saturated-at-100 artifact of the 6-candidate layout.
 
 Run: python examples/e2e_realistic.py [--interactions 100000] [--cpu]
-Results land in saved_logs/E2E_RESULTS.md.
+Results land in examples/E2E_RESULTS.md (committed).
 """
 
 from __future__ import annotations
@@ -32,6 +36,21 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _alpha(n: int) -> str:
+    """Letters-only index encoding ("a", "b", ..., "ba", ...): the
+    tokenizer is the reference's letters-only cleanup
+    (preprocess_random_split.py:35 strips digits), so digit-suffixed
+    synthetic words like "good5" would all collapse to one token and
+    destroy the planted signal (this bug shipped in the round-3 corpus:
+    total_words came out as 5)."""
+    s = ""
+    while True:
+        s += chr(ord("a") + n % 26)
+        n //= 26
+        if n == 0:
+            return s
+
+
 def generate_dump(path: str, target_interactions: int, seed: int = 0):
     """Amazon-style JSON-lines with planted structure: zipfian item
     popularity (real catalogs are heavy-tailed), mu + b_u + b_i +
@@ -43,12 +62,13 @@ def generate_dump(path: str, target_interactions: int, seed: int = 0):
     num_items = max(target_interactions // 66, 10)
 
     # vocabulary: sentiment pools + per-topic pools + zipfian filler
-    pos_words = [f"good{j}" for j in range(40)]
-    neg_words = [f"bad{j}" for j in range(40)]
+    # (all words letters-only — see _alpha)
+    pos_words = [f"good{_alpha(j)}" for j in range(40)]
+    neg_words = [f"bad{_alpha(j)}" for j in range(40)]
     n_topics = 12
-    topic_words = [[f"topic{t}word{j}" for j in range(60)]
+    topic_words = [[f"top{_alpha(t)}q{_alpha(j)}" for j in range(60)]
                    for t in range(n_topics)]
-    filler = [f"w{j}" for j in range(8000)]
+    filler = [f"xf{_alpha(j)}" for j in range(8000)]
     zipf_p = 1.0 / np.arange(1, len(filler) + 1)
     zipf_p /= zipf_p.sum()
 
@@ -139,13 +159,26 @@ def main():
     for mt in args.models.split(","):
         t0 = time.time()
         extra = []
-        if mt in ("deepconn++", "MPCN"):
+        if mt == "deepconn++":
+            # the TPU perf path: Pallas kernels + device doc cache +
+            # scan-over-microbatches. The FULL [N,T,E] cache of both doc
+            # sides is ~20 GB for this corpus (exceeds one v5e's 16 GB
+            # HBM), so the item side is cached as floats and the user
+            # side as raw device ids (hp.cache_sides) — bitwise
+            # identical, ~10 GB.
+            extra = ["--epochs", "25", "--early_stop", "3",
+                     "--use_pallas", "true", "--scan_steps", "10",
+                     "--cache_doc_embeds", "true",
+                     "--cache_sides", "item"]
+        elif mt == "MPCN":
             extra = ["--epochs", "25", "--early_stop", "3"]
         elif mt in ("MF_dot", "bias_only"):
-            extra = ["--epochs", "15", "--early_stop", "3"]
+            extra = ["--epochs", "15", "--early_stop", "3",
+                     "--scan_steps", "10"]
         out = run_cli([sys.executable, "-m", "reviews4rec_tpu",
                        "--model_type", mt, "--dataset", "e2e",
-                       "--batch_size", "256", "--json"] + extra, env=env)
+                       "--batch_size", "256", "--eval_num_negs", "99",
+                       "--json"] + extra, env=env)
         line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
         results[mt] = json.loads(line)
         results[mt]["wall_s"] = round(time.time() - t0, 1)
@@ -160,10 +193,18 @@ def main():
                 "data\n\n")
         f.write(f"{args.interactions} raw interactions, k-core 5, "
                 f"preprocess {prep_s:.0f}s "
-                f"(SGNS epochs {args.w2v_epochs}).\n\n")
-        f.write("| model | MSE | HR@1 | wall |\n|---|---|---|---|\n")
+                f"(SGNS epochs {args.w2v_epochs}). HR@1 on the "
+                f"reference 1+5 negative sets; HR@10/NDCG@10 on wide "
+                f"1+99 sets (--eval_num_negs 99). train ex/s is the "
+                f"PRODUCT path (epoch banners: host batcher + shuffle "
+                f"+ per-epoch val eval included), median over "
+                f"epochs.\n\n")
+        f.write("| model | MSE | HR@1 | HR@10 | NDCG@10 | train ex/s "
+                "| wall |\n|---|---|---|---|---|---|---|\n")
         for mt, m in results.items():
             f.write(f"| {mt} | {m.get('MSE')} | {m.get('HR@1')} | "
+                    f"{m.get('HR@10')} | {m.get('NDCG@10')} | "
+                    f"{m.get('train_examples_per_s', '—')} | "
                     f"{m.get('wall_s')}s |\n")
         f.write("\nSanity anchors: bias_only is the offset+bias "
                 "staircase step (HFT prints the same anchors at init, "

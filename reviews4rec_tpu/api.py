@@ -40,8 +40,26 @@ def _finalize(hp, model, params, dataset, quiet: bool, mesh=None):
     if mesh is not None:
         n_data = mesh.shape[hp.mesh_axes[0]]
         rank_bs = -(-rank_bs // n_data) * n_data
-    metrics.update(eval_ranking(rank_step, params, neg_recs, hp,
-                                batch_size=rank_bs, mesh=mesh))
+    if hp.eval_num_negs > 0:
+        # split the protocol: HR@1 on the reference 1+5 sets, the k>1
+        # cutoffs on wide 1+eval_num_negs sets (on the 6-candidate
+        # layout HR@10 saturates at 100 by construction)
+        from .train.evaluate import split_eval_ks
+        narrow_ks, wide_ks = split_eval_ks(hp)
+        metrics.update(eval_ranking(
+            rank_step, params, neg_recs, hp.replace(eval_ks=narrow_ks),
+            batch_size=rank_bs, mesh=mesh))
+        wide_recs = dataset.materialize_wide_negs(hp, hp.eval_num_negs,
+                                                  seed=hp.seed)
+        wide_bs = max(1, rank_bs // 4) if hp.uses_reviews else rank_bs
+        if mesh is not None:
+            wide_bs = -(-wide_bs // n_data) * n_data
+        metrics.update(eval_ranking(
+            rank_step, params, wide_recs, hp.replace(eval_ks=wide_ks),
+            batch_size=wide_bs, mesh=mesh))
+    else:
+        metrics.update(eval_ranking(rank_step, params, neg_recs, hp,
+                                    batch_size=rank_bs, mesh=mesh))
     return metrics, ucm, icm
 
 
@@ -73,9 +91,13 @@ def run(hp: HyperParams, dataset: Optional[ReviewDataset] = None,
         # best-val checkpoint persisted in the normal flow (reference
         # main.py:123-126 always saves model_path)
         ckpt = hp.model_path() if hp.save_model else None
+        stats: Dict = {}
         params, _ = train_complete(hp, model, dataset, quiet=quiet,
-                                   mesh=mesh, checkpoint_path=ckpt)
+                                   mesh=mesh, checkpoint_path=ckpt,
+                                   stats=stats)
         out = _finalize(hp, model, params, dataset, quiet, mesh=mesh)
+        if "train_examples_per_s" in stats:
+            out[0]["train_examples_per_s"] = stats["train_examples_per_s"]
 
     metrics, ucm, icm = out
     metrics["dataset"] = hp.dataset

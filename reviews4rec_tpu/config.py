@@ -119,10 +119,16 @@ class HyperParams:
     # ---- eval ----
     num_negs: int = 5           # candidates = 1 pos + num_negs
     # HR@k / NDCG@k cutoffs (reference protocol is k=1 over 6
-    # candidates, eval.py:64-91; k=10 is the BASELINE.md target and is
-    # meaningful once num_negs >= 10 — with the default 5 negatives it
-    # saturates at 100).
+    # candidates, eval.py:64-91; k=10 is the BASELINE.md target).
     eval_ks: Tuple[int, ...] = (1, 10)
+    # Wide eval candidate sets: > 0 additionally scores each stored
+    # neg-set positive against this many items sampled OUTSIDE the
+    # user's train/val/test interactions (the standard 1+99 protocol),
+    # and the k>1 cutoffs in eval_ks are computed on those sets — with
+    # the reference's 1+5 sets HR@10 saturates at 100 by construction.
+    # HR@1 always stays on the reference 1+5 protocol
+    # (make_negative_sets.py:42-68 — num_negs is a parameter there too).
+    eval_num_negs: int = 0
 
     # ---- populated by data loading (reference data.py:468-470) ----
     total_users: int = 0
@@ -180,8 +186,17 @@ class HyperParams:
     # indices). Bitwise-identical to the uncached path (tested). Memory:
     # ~2 * N * T * E * dtype bytes of HBM — opt in where the split fits
     # (e.g. 100k x 1000 x 64 bf16 = 12.8 GB/side does NOT fit v5e;
-    # 20k-example splits do). Single-device only for now.
+    # 20k-example splits do). Composes with the mesh: the cache is
+    # row-sharded over the data axis (parallel.mesh.shard_cache).
     cache_doc_embeds: bool = False
+    # Which doc sides the cache PRE-EMBEDS ("both" | "item" | "user"):
+    # a split too large to cache both [N, T, E] sides (see the budget
+    # above) can cache one side as floats while the other stays raw
+    # int ids on device (the models embed int docs through the frozen
+    # table in-jit, so the result is bitwise-identical either way) —
+    # halving cache HBM for ~half the gather saving. "item" also covers
+    # transnet's this_doc (the held-out review is item-side data).
+    cache_sides: str = "both"
     # shard the review-doc time axis of every TextCNN over the model
     # axis (ppermute halo exchange, parallel/sequence.py) — the scaling
     # path for input_length beyond one chip's HBM; requires

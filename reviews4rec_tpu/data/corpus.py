@@ -554,6 +554,61 @@ class ReviewDataset:
         self._cache[key] = recs
         return recs
 
+    def materialize_wide_negs(self, hp, num_negs: int,
+                              seed: int = 0) -> Dict[str, np.ndarray]:
+        """Wide eval candidate grids (hp.eval_num_negs): per stored
+        neg-set row, column 0 keeps that row's positive and columns
+        1..num_negs are items sampled uniformly OUTSIDE the user's
+        train/val/test interactions — the standard 1+99 ranking
+        protocol, as an opt-in widening of the reference's 1+5 sets
+        (make_negative_sets.py:42-68 parameterizes num_negs the same
+        way). Same [M, C] layout as `materialize_negs`, so the jitted
+        rank step is shared; `hp.out_of_core` streams the doc grids."""
+        with_text = hp.family == "review"
+        m = int(self.neg_users.shape[0])
+        c = num_negs + 1
+        rng = np.random.default_rng(seed)
+        seen: List[set] = [set() for _ in range(self.num_users)]
+        for s in self.splits.values():
+            for u, i in zip(s.user, s.item):
+                seen[int(u)].add(int(i))
+
+        cands = np.empty((m, c), np.int32)
+        cands[:, 0] = self.neg_cands[:, 0]
+        draw = rng.integers(0, self.num_items, size=(m, num_negs))
+        for x in range(m):
+            su = seen[int(self.neg_users[x])]
+            for j in range(num_negs):
+                v = int(draw[x, j])
+                for _ in range(10):  # bounded rejection (train_negs)
+                    if v not in su:
+                        break
+                    v = int(rng.integers(0, self.num_items))
+                cands[x, j + 1] = v
+
+        user = np.repeat(self.neg_users, c).reshape(m, c).astype(np.int32)
+        rating = np.zeros((m, c), np.float32)
+        neg1 = np.full(m * c, -1, np.int32)
+        if with_text and getattr(hp, "out_of_core", False):
+            rows, words = _doc_layout(hp)
+            return self._disk_grid_store(
+                hp, f"widenegs_{rows}x{words}_p{hp.user_pad_id}"
+                    f"_c{c}_s{seed}",
+                {"user": user, "item": cands, "rating": rating},
+                self.neg_users.astype(np.int32), cands.reshape(-1),
+                neg1, neg1, neg1, m, c)
+        key = ("wide_negs", _doc_layout(hp) if with_text else "id",
+               hp.user_pad_id if with_text else 0, num_negs, seed)
+        if key in self._cache:
+            return self._cache[key]
+        recs = {"user": user, "item": cands, "rating": rating}
+        if with_text:
+            recs.update(self._grid_text_records(
+                hp, self.neg_users.astype(np.int32), cands.reshape(-1),
+                neg1, neg1, neg1, m, c))
+        self._cache[key] = recs
+        return recs
+
     def materialize_train_negs(self, hp, split: str = "train",
                                seed: int = 0) -> Dict[str, np.ndarray]:
         """Sampled candidate grids for ranking-loss training (hp.loss in

@@ -462,6 +462,21 @@ def run_hft(hp: HyperParams, dataset: ReviewDataset, quiet: bool = True):
         "MSE": round(trainer.best_errors["test"], 4),
         "HR@1": hr1,
     }
+    if hp.eval_num_negs > 0:
+        # wide 1+eval_num_negs candidate sets for the k > num_negs
+        # cutoffs (train/evaluate.py::split_eval_ks); topic-family
+        # grids are id-only, so scoring them is one vectorized predict
+        from ..train.evaluate import ranks_to_metrics, split_eval_ks
+        _, wide_ks = split_eval_ks(hp)
+        if wide_ks:
+            wide = dataset.materialize_wide_negs(hp, hp.eval_num_negs,
+                                                 seed=hp.seed)
+            preds = _predict(trainer.params,
+                             jnp.asarray(wide["user"]),
+                             jnp.asarray(wide["item"]))
+            ranks = np.asarray(jnp.sum(preds[:, 1:] > preds[:, :1],
+                                       axis=1))
+            metrics.update(ranks_to_metrics(ranks, wide_ks))
     ucm, icm = trainer.count_maps(trainer.params)
     save_artifacts(trainer, hp, hr1, ucm, icm)
     return metrics, ucm, icm

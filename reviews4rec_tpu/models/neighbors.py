@@ -281,14 +281,24 @@ def run_neighbor(hp: HyperParams, dataset: ReviewDataset):
     for c, e in zip(icnt, err):
         icm.setdefault(int(c), []).append(float(e))
 
+    from ..train.evaluate import ranks_to_metrics, split_eval_ks
+
+    narrow_ks, wide_ks = split_eval_ks(hp)
+
+    def grid_ranks(users_2d, items_2d):
+        m = items_2d.shape[0]
+        scores = predict(np.asarray(users_2d).reshape(-1),
+                         np.asarray(items_2d).reshape(-1)).reshape(m, -1)
+        return (scores[:, 1:] > scores[:, :1]).sum(axis=1)
+
     m = dataset.neg_cands.shape[0]
-    flat_u = np.repeat(dataset.neg_users, dataset.neg_cands.shape[1])
-    flat_i = dataset.neg_cands.reshape(-1)
-    scores = predict(flat_u, flat_i).reshape(m, -1)
-    ranks = (scores[:, 1:] > scores[:, :1]).sum(axis=1)
-    for k in hp.eval_ks:
-        metrics[f"HR@{k}"] = round(100.0 * float((ranks < k).mean()), 2)
-        if k > 1:
-            ndcg = np.where(ranks < k, 1.0 / np.log2(ranks + 2), 0.0).mean()
-            metrics[f"NDCG@{k}"] = round(100.0 * float(ndcg), 2)
+    users = np.repeat(dataset.neg_users,
+                      dataset.neg_cands.shape[1]).reshape(m, -1)
+    metrics.update(ranks_to_metrics(grid_ranks(users, dataset.neg_cands),
+                                    narrow_ks))
+    if wide_ks:
+        wide = dataset.materialize_wide_negs(hp, hp.eval_num_negs,
+                                             seed=hp.seed)
+        metrics.update(ranks_to_metrics(
+            grid_ranks(wide["user"], wide["item"]), wide_ks))
     return metrics, ucm, icm

@@ -217,6 +217,32 @@ def make_rank_step(apply_fn: Callable, model_type: str, mesh=None):
     return rank_step
 
 
+def ranks_to_metrics(ranks: np.ndarray, ks) -> Dict[str, float]:
+    """HR@k / NDCG@k from 0-based positive ranks (shared by the
+    gradient, HFT and neighbor evaluators; NDCG emitted for k > 1)."""
+    metrics: Dict[str, float] = {}
+    total = max(len(ranks), 1)
+    for k in ks:
+        hr = float((ranks < k).sum()) / total
+        metrics[f"HR@{k}"] = round(100.0 * hr, 2)
+        if k > 1:
+            ndcg = float(np.where(ranks < k, 1.0 / np.log2(ranks + 2),
+                                  0.0).sum()) / total
+            metrics[f"NDCG@{k}"] = round(100.0 * ndcg, 2)
+    return metrics
+
+
+def split_eval_ks(hp: HyperParams) -> Tuple[Tuple[int, ...],
+                                            Tuple[int, ...]]:
+    """(narrow_ks, wide_ks): with hp.eval_num_negs > 0, cutoffs above
+    num_negs move to wide 1+eval_num_negs candidate sets — on the
+    reference 1+5 layout HR@10 saturates at 100 by construction."""
+    if hp.eval_num_negs <= 0:
+        return tuple(hp.eval_ks), ()
+    return (tuple(k for k in hp.eval_ks if k <= hp.num_negs),
+            tuple(k for k in hp.eval_ks if k > hp.num_negs))
+
+
 def eval_ranking(rank_step, params, neg_records, hp: HyperParams,
                  batch_size: int = 0, mesh=None) -> Dict:
     """HR@k / NDCG@k over per-user candidate sets (reference
@@ -233,14 +259,4 @@ def eval_ranking(rank_step, params, neg_records, hp: HyperParams,
     ranks_d = jax.device_get(ranks_d)    # one blocking fetch per split
     ranks = [r[w] for r, w in zip(ranks_d, weights)]
     ranks = np.concatenate(ranks) if ranks else np.zeros(0, np.int64)
-
-    metrics = {}
-    total = max(len(ranks), 1)
-    for k in hp.eval_ks:
-        hr = float((ranks < k).sum()) / total
-        ndcg = float(np.where(ranks < k, 1.0 / np.log2(ranks + 2), 0.0).sum()) \
-            / total
-        metrics[f"HR@{k}"] = round(100.0 * hr, 2)
-        if k > 1:
-            metrics[f"NDCG@{k}"] = round(100.0 * ndcg, 2)
-    return metrics
+    return ranks_to_metrics(ranks, hp.eval_ks)

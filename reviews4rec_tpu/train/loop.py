@@ -199,21 +199,36 @@ def make_scan_train_step(apply_fn: Callable,
 DOC_KEYS = ("user_doc", "item_doc", "this_doc")
 
 
-def doc_cache_keys(model_type: str) -> Tuple[str, ...]:
-    """The doc tensors `model_type` actually reads. deepconn/NARRE never
-    consume `this_doc` (models/deepconn.py:42-45, narre.py:52-56), so
-    caching it would carry an unused [T, E]/[R, W, E] float array per
-    example — ~50% more HBM than the ~2*N*T*E budget the
-    cache_doc_embeds doc sizes against. Only transnet's target tower
-    reads it (models/transnet.py:59-62)."""
-    if model_type in ("transnet", "transnet++"):
-        return DOC_KEYS
-    return ("user_doc", "item_doc")
+def doc_cache_keys(model_type: str, sides: str = "both"
+                   ) -> Tuple[Tuple[str, ...], Tuple[str, ...]]:
+    """(embed_keys, id_keys) for the device cache.
+
+    embed_keys are pre-embedded through the frozen table; id_keys stay
+    raw int32 ids on device (embedded in-jit by the model — bitwise
+    identical, but the cache costs 4 bytes/word instead of 2*E).
+    deepconn/NARRE never consume `this_doc` (models/deepconn.py:42-45,
+    narre.py:52-56) so it is dropped from the cache entirely — caching
+    it would carry an unused [T, E]/[R, W, E] float array per example.
+    `sides` (hp.cache_sides) restricts pre-embedding to one doc side
+    for splits whose full float cache exceeds HBM; `this_doc` (the
+    held-out review) counts as item-side."""
+    read = (DOC_KEYS if model_type in ("transnet", "transnet++")
+            else ("user_doc", "item_doc"))
+    side_of = {"user_doc": "user", "item_doc": "item", "this_doc": "item"}
+    if sides == "both":
+        embed = read
+    elif sides in ("item", "user"):
+        embed = tuple(k for k in read if side_of[k] == sides)
+    else:
+        raise ValueError(f"cache_sides must be both|item|user, "
+                         f"got {sides!r}")
+    return embed, tuple(k for k in read if k not in embed)
 
 
 def build_doc_cache(records: Dict, word_vectors, dtype,
                     paired_window: Optional[int] = None,
-                    keys: Tuple[str, ...] = DOC_KEYS) -> Dict:
+                    keys: Tuple[str, ...] = DOC_KEYS,
+                    id_keys: Tuple[str, ...] = ()) -> Dict:
     """Device-resident record cache with the frozen-table doc tensors
     PRE-EMBEDDED (int ids [..., T] -> float [..., T, E]): the word table
     never changes, so each example's doc embedding is static for the
@@ -230,16 +245,17 @@ def build_doc_cache(records: Dict, word_vectors, dtype,
     and otherwise built twice per tower (forward + backward) — is
     hoisted out of the step entirely.
 
-    `keys` limits which DOC_KEYS are cached (doc_cache_keys): a doc
-    tensor the model never reads is dropped from the cache entirely —
-    no HBM, no per-step gather bandwidth."""
+    `keys` limits which DOC_KEYS are pre-embedded and `id_keys` which
+    stay raw int ids on device (doc_cache_keys / hp.cache_sides); a doc
+    tensor in neither set is dropped from the cache entirely — no HBM,
+    no per-step gather bandwidth."""
     table = jnp.asarray(word_vectors).astype(dtype)
     cache = {}
     for k, v in records.items():
-        if k in DOC_KEYS and k not in keys:
+        if k in DOC_KEYS and k not in keys and k not in id_keys:
             continue
         arr = jnp.asarray(np.asarray(v))
-        if k in DOC_KEYS:
+        if k in DOC_KEYS and k in keys:
             emb = jnp.take(table, arr, axis=0)
             if paired_window is not None:
                 from ..ops.textcnn_pallas import paired_operand
@@ -492,7 +508,8 @@ def cache_dtype_for(hp: HyperParams):
 
 def train_complete(hp: HyperParams, model, dataset, *,
                    params=None, quiet: bool = True,
-                   checkpoint_path: Optional[str] = None, mesh=None):
+                   checkpoint_path: Optional[str] = None, mesh=None,
+                   stats: Optional[Dict] = None):
     """Full training run with per-epoch validation, best-val snapshot
     and early stopping (reference `train_complete` main.py:73-136 +
     MPCN's `--early_stop` patience, MPCN/train.py:746-760). Returns
@@ -514,7 +531,11 @@ def train_complete(hp: HyperParams, model, dataset, *,
     data x model mesh (parallel/mesh.py), row-shards the embedding/bias
     tables over `model`, shards every batch over `data`, and lets
     sharded autodiff insert the gradient psums. Pass `mesh` explicitly
-    to reuse one across phases (NeuMF)."""
+    to reuse one across phases (NeuMF).
+
+    `stats` (optional dict) receives product-path training throughput:
+    per-epoch examples/s from the epoch banners, plus their median —
+    the number BASELINE.md's examples/s/chip target is about."""
     import contextlib
     import os
 
@@ -561,17 +582,19 @@ def train_complete(hp: HyperParams, model, dataset, *,
                 "multi-process runtime cannot device_put; drop the cache "
                 "or run single-host")
         pw = paired_window_for(hp)
-        ck = doc_cache_keys(hp.model_type)
+        ck, idk = doc_cache_keys(hp.model_type, hp.cache_sides)
         train_cache = build_doc_cache(train_recs, dataset.word_vectors,
                                       cache_dtype_for(hp),
-                                      paired_window=pw, keys=ck)
+                                      paired_window=pw, keys=ck,
+                                      id_keys=idk)
         # identical shuffle stream to `train_b` (same seed/epoch keying),
         # but yielding row indices into the device cache
         row_b = Batcher({"row": np.arange(train_b.n)}, hp.batch_size,
                         shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
         val_cache = (build_doc_cache(val_recs, dataset.word_vectors,
                                      cache_dtype_for(hp),
-                                     paired_window=pw, keys=ck)
+                                     paired_window=pw, keys=ck,
+                                     id_keys=idk)
                      if not ranking else None)
         if mesh is not None:
             # compose the cache with the mesh: row-shard every cache
@@ -680,6 +703,11 @@ def train_complete(hp: HyperParams, model, dataset, *,
                                          hp, dataset.user_count,
                                          dataset.item_count, mesh=mesh)
             metrics["examples_per_s"] = train_metrics["examples_per_s"]
+            if stats is not None:
+                eps_l = stats.setdefault("epoch_examples_per_s", [])
+                eps_l.append(train_metrics["examples_per_s"])
+                mid = sorted(eps_l)[len(eps_l) // 2]
+                stats["train_examples_per_s"] = mid
             log_end_epoch(log, {k: v for k, v in metrics.items()
                                 if not (ranking and k == "MSE")},
                           epoch, time.time() - t0, quiet=quiet)

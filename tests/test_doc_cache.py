@@ -76,13 +76,38 @@ def test_doc_cache_drops_unread_docs(dataset, hp_base):
                                             doc_cache_keys)
     hp = hp_base.replace(model_type="deepconn")
     recs = dataset.materialize(hp, "train")
+    ck, idk = doc_cache_keys("deepconn")
     cache = build_doc_cache(recs, dataset.word_vectors, "float32",
-                            keys=doc_cache_keys("deepconn"))
+                            keys=ck, id_keys=idk)
     assert "this_doc" not in cache
     assert cache["user_doc"].ndim == 3  # pre-embedded [N, T, E]
+    ck, idk = doc_cache_keys("transnet")
     full = build_doc_cache(recs, dataset.word_vectors, "float32",
-                           keys=doc_cache_keys("transnet"))
+                           keys=ck, id_keys=idk)
     assert "this_doc" in full
+
+    # cache_sides="item": item docs pre-embedded, user docs raw ids
+    ck, idk = doc_cache_keys("deepconn", "item")
+    assert ck == ("item_doc",) and idk == ("user_doc",)
+    half = build_doc_cache(recs, dataset.word_vectors, "float32",
+                           keys=ck, id_keys=idk)
+    assert half["item_doc"].ndim == 3           # [N, T, E] floats
+    assert half["user_doc"].dtype == np.int32   # raw ids
+    ck, idk = doc_cache_keys("transnet", "item")
+    assert set(ck) == {"item_doc", "this_doc"} and idk == ("user_doc",)
+
+
+def test_cached_sides_item_bitwise(dataset, hp_base):
+    """Partial cache (cache_sides='item'): item docs gathered from the
+    float cache, user docs embedded in-jit from cached ids — still
+    bitwise-identical to the uncached run."""
+    hp = hp_base.replace(model_type="deepconn", epochs=1, batch_size=16,
+                         shuffle_data_every_epoch=True)
+    p1, m1 = _train(dataset, hp)
+    p2, m2 = _train(dataset, hp.replace(cache_doc_embeds=True,
+                                        cache_sides="item"))
+    assert m1 == m2
+    _assert_bitwise(p1, p2)
 
 
 def test_cached_scan_parity(dataset, hp_base):
