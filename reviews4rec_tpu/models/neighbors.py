@@ -223,14 +223,20 @@ def fit(hp: HyperParams, dataset: ReviewDataset):
     lr = 0.007 if variant == "SVD++" else hp.surprise_lr
     kw = {}
     if variant == "SVD++":
-        # padded per-user item lists for the implicit term
+        # padded per-user item lists for the implicit term, built by a
+        # stable sort + segment-relative column index (no Python loop;
+        # within-user order stays the train-split order)
         maxI = max(1, int(dataset.user_count.max()))
         pad = np.zeros((U, maxI), np.int32)
-        cnt = np.zeros(U, np.float32)
         tr = dataset.splits["train"]
-        for u, i in zip(tr.user, tr.item):
-            pad[u, int(cnt[u])] = i
-            cnt[u] += 1
+        order = np.argsort(tr.user, kind="stable")
+        su = tr.user[order].astype(np.int64)
+        si = tr.item[order].astype(np.int32)
+        counts = np.bincount(su, minlength=U)
+        col = np.arange(len(su)) - np.repeat(np.cumsum(counts) - counts,
+                                             counts)
+        pad[su, col] = si
+        cnt = counts.astype(np.float32)
         kw = {"rated_pad": jnp.asarray(pad), "rated_count": jnp.asarray(cnt)}
 
     state = _sgd_fit(users, items, ratings, U, I, mu,
