@@ -309,7 +309,41 @@ def time_hft(ds, iters: int = 4) -> float:
     raise RuntimeError("non-positive HFT slope after retry")
 
 
-def bench_torch_baseline() -> float:
+def time_recommend(catalog: int = 10_000, n_users: int = 32) -> float:
+    """Serving throughput: users/s for full-catalog top-10 retrieval
+    over a `catalog`-item corpus with the flagship review tower
+    (serve.Recommender: one compiled scorer, padded 512-item chunks,
+    on-device running top-k merge). Counts the whole pipeline — host
+    grid materialization + transfer + scoring — since that IS the
+    serving cost."""
+    import jax
+
+    from reviews4rec_tpu.config import HyperParams
+    from reviews4rec_tpu.data.batcher import Batcher
+    from reviews4rec_tpu.data.synthetic import make_synthetic
+    from reviews4rec_tpu.models import build_model
+    from reviews4rec_tpu.serve import Recommender
+
+    ds = make_synthetic(num_users=64, num_items=catalog, vocab=2000,
+                        interactions_per_user=(10, 20), seed=0)
+    hp = ds.apply_to(HyperParams(model_type="deepconn",
+                                 batch_size=n_users,
+                                 input_length=INPUT_LEN,
+                                 latent_size=LATENT))
+    model = build_model(hp, ds.word_vectors)
+    b = next(iter(Batcher(ds.materialize(hp, "train"), 8)))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng}, b,
+                        train=False)["params"]
+    rec = Recommender(hp, ds, params=params, model=model)
+    users = np.arange(n_users)
+    rec.topk(users, k=10)                  # warm: compile + host caches
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        rec.topk(users, k=10)              # returns np => full sync
+    dt = time.perf_counter() - t0
+    return n_users * reps / dt
     """Reference-style torch implementation of the flagship on CPU
     (reference DeepCoNN.py semantics), forward+backward+Adam."""
     import torch
@@ -463,6 +497,20 @@ def main():
     except RuntimeError as exc:
         log(f"timing failed: {exc}")
         slopes, spread = {}, {}
+    # configs whose round spread exceeds 60% get a second, longer
+    # measurement (9 interleaved rounds); keep whichever shows the
+    # smaller spread — one tunnel stall can corrupt a 5-round window
+    noisy = {n: runs[n] for n in slopes if spread[n] > 0.6}
+    if noisy:
+        log(f"re-measuring high-spread configs with 9 rounds: "
+            f"{sorted(noisy)}")
+        try:
+            s2, sp2 = slope_interleaved(noisy, STEPS, rounds=9)
+            for n in s2:
+                if sp2[n] < spread[n]:
+                    slopes[n], spread[n] = s2[n], sp2[n]
+        except RuntimeError as exc:
+            log(f"re-measure failed: {exc}")
     max_spread = 0.0
     for name in slopes:
         eps = batches[name] / slopes[name]
@@ -479,17 +527,40 @@ def main():
         rows["HFT"] = None
         log(f"{'HFT':28s} FAILED: {exc}")
 
-    # flagship = the fastest deepconn path at the protocol batch; the
-    # HEADLINE is this number (matched protocol: same batch, same step
-    # count, same interleaved rounds as the torch-anchored table). The
+    if on_tpu:
+        try:
+            rec_ups = time_recommend()
+            rows["recommend@10k"] = round(rec_ups, 2)
+            log(f"{'recommend@10k':28s} {rec_ups:12,.1f} users/s "
+                f"(full-catalog top-10, deepconn)")
+        except Exception as exc:
+            rows["recommend@10k"] = None
+            log(f"{'recommend@10k':28s} FAILED: {exc}")
+
+    # HEADLINE config is PINNED BY NAME so BENCH_rN values compare the
+    # same computation round over round (r3 lesson: max-of-table let the
+    # winner drift between configs with different step semantics). The
     # batch sweep is reported separately, never promoted.
-    candidates = {k: v for k, v in rows.items()
-                  if k.startswith("deepconn") and "@" not in k and v}
-    flag_key = max(candidates, key=candidates.get) if candidates \
-        else "deepconn"
+    flag_key = ("deepconn+pallas+cache+scan10"
+                if rows.get("deepconn+pallas+cache+scan10")
+                else "deepconn")
     flagship_eps = rows.get(flag_key) or 0.0
 
     flag_spread = round(spread.get(flag_key, 0.0) * 100.0, 1)
+
+    # dispatch-latency share: scan10 runs the identical per-step
+    # computation at 1/10th the dispatches, so the per-step time delta
+    # vs the unscanned config is the tunnel/dispatch cost — the part of
+    # the scan win a non-tunneled production chip would NOT see.
+    dispatch_share = None
+    if slopes.get("deepconn+pallas") and slopes.get(
+            "deepconn+pallas+scan10"):
+        s1 = slopes["deepconn+pallas"]
+        s10 = slopes["deepconn+pallas+scan10"]
+        dispatch_share = round(100.0 * max(s1 - s10, 0.0) / s1, 1)
+        log(f"dispatch-latency share of the unscanned pallas step: "
+            f"{dispatch_share}% (scan10 amortizes this; a non-tunneled "
+            f"chip pays far less of it)")
 
     sweep = {256: rows.get("deepconn")}
     for bsz in (128, 512):
@@ -539,7 +610,10 @@ def main():
         "mfu_pct": mfu,
         "modeled_hbm_gbps": gbps,
         "noise_pct": noise_pct,
+        "dispatch_latency_share_pct": dispatch_share,
         "models": rows,
+        "spreads_pct": {k: round(v * 100.0, 1)
+                        for k, v in spread.items() if k in rows},
         "batch_sweep": {str(k): v for k, v in sorted(sweep.items())},
         "sweep_best": max([v for v in sweep.values() if v], default=None),
     }))

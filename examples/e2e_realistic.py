@@ -135,6 +135,10 @@ def main():
                         "picks — the real TPU when available)")
     p.add_argument("--w2v-epochs", type=int, default=3)
     p.add_argument("--models", default="bias_only,MF_dot,deepconn++,HFT,MPCN")
+    p.add_argument("--skip-prep", action="store_true",
+                   help="reuse the existing generated dump + corpus; "
+                        "results merge into the state from earlier "
+                        "invocations (resume after a failed model)")
     args = p.parse_args()
 
     env = dict(os.environ)
@@ -144,18 +148,27 @@ def main():
     # CPU backend avoids paying the tunneled-TPU warmup for it
     prep_env = {**env, "JAX_PLATFORMS": "cpu"}
 
+    state_path = os.path.join(REPO, "data", "e2e_state.json")
+    state = {}
+    if args.skip_prep and os.path.exists(state_path):
+        with open(state_path) as fh:
+            state = json.load(fh)
+
     dump = os.path.join(REPO, "data", "e2e_raw.json")
     os.makedirs(os.path.dirname(dump), exist_ok=True)
-    generate_dump(dump, args.interactions)
+    if not args.skip_prep:
+        generate_dump(dump, args.interactions)
+        t0 = time.time()
+        run_cli([sys.executable, "-m", "reviews4rec_tpu.data.preprocess",
+                 "e2e", dump, "--k-core", "5",
+                 "--w2v-epochs", str(args.w2v_epochs)], env=prep_env)
+        prep_s = time.time() - t0
+        print(f"preprocess: {prep_s:.0f}s")
+        state = {"prep_s": prep_s, "interactions": args.interactions,
+                 "w2v_epochs": args.w2v_epochs, "results": {}}
+    prep_s = state.get("prep_s", 0.0)
 
-    t0 = time.time()
-    run_cli([sys.executable, "-m", "reviews4rec_tpu.data.preprocess",
-             "e2e", dump, "--k-core", "5",
-             "--w2v-epochs", str(args.w2v_epochs)], env=prep_env)
-    prep_s = time.time() - t0
-    print(f"preprocess: {prep_s:.0f}s")
-
-    results = {}
+    results = state.setdefault("results", {})
     for mt in args.models.split(","):
         t0 = time.time()
         extra = []
@@ -183,6 +196,8 @@ def main():
         results[mt] = json.loads(line)
         results[mt]["wall_s"] = round(time.time() - t0, 1)
         print(f"{mt}: {results[mt]}", flush=True)
+        with open(state_path, "w") as fh:      # resumable progress
+            json.dump(state, fh, indent=1)
 
     # committed alongside the script (saved_logs/ is gitignored; the
     # staircase table is a repo artifact the README points at)
@@ -191,9 +206,11 @@ def main():
     with open(md, "w") as f:
         f.write("# End-to-end run on realistic synthetic Amazon-style "
                 "data\n\n")
-        f.write(f"{args.interactions} raw interactions, k-core 5, "
+        f.write(f"{state.get('interactions', args.interactions)} raw "
+                f"interactions, k-core 5, "
                 f"preprocess {prep_s:.0f}s "
-                f"(SGNS epochs {args.w2v_epochs}). HR@1 on the "
+                f"(SGNS epochs "
+                f"{state.get('w2v_epochs', args.w2v_epochs)}). HR@1 on the "
                 f"reference 1+5 negative sets; HR@10/NDCG@10 on wide "
                 f"1+99 sets (--eval_num_negs 99). train ex/s is the "
                 f"PRODUCT path (epoch banners: host batcher + shuffle "

@@ -595,6 +595,45 @@ class ReviewDataset:
         self._cache[key] = recs
         return recs
 
+    def candidate_grid_records(self, hp, users: np.ndarray,
+                               items: np.ndarray) -> Dict[str, np.ndarray]:
+        """PUBLIC serving-grid API: [U, C] scoring-grid records for
+        `users` x candidate `items` — the same layout the rank evaluator
+        consumes (materialize_negs), with no leakage removal (unseen
+        pairs have no shared review to drop). Used by serve.Recommender;
+        stable surface for external callers."""
+        users = np.asarray(users, np.int32)
+        items = np.asarray(items, np.int32)
+        u, c = len(users), len(items)
+        user = np.repeat(users, c).reshape(u, c)
+        item = np.broadcast_to(items[None], (u, c)).copy()
+        recs = {"user": user, "item": item,
+                "rating": np.zeros((u, c), np.float32),
+                "weight": np.ones(u, np.float32)}
+        if hp.family == "review":
+            neg1 = np.full(u * c, -1, np.int32)
+            recs.update(self._grid_text_records(
+                hp, users, item.reshape(-1), neg1, neg1, neg1, u, c))
+        return recs
+
+    def train_pair_mask(self, users: np.ndarray, items: np.ndarray
+                        ) -> np.ndarray:
+        """Boolean mask (broadcast shape of users x items) marking
+        (u, i) pairs present in the TRAIN split — vectorized membership
+        via one sorted key array (serving's exclude_seen)."""
+        if getattr(self, "_train_pair_keys", None) is None:
+            tr = self.splits["train"]
+            keys = (tr.user.astype(np.int64) * self.num_items
+                    + tr.item.astype(np.int64))
+            self._train_pair_keys = np.unique(keys)
+        keys = self._train_pair_keys
+        q = (np.asarray(users).astype(np.int64) * self.num_items
+             + np.asarray(items).astype(np.int64))
+        if len(keys) == 0:
+            return np.zeros(q.shape, bool)
+        pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+        return keys[pos] == q
+
     def materialize_wide_negs(self, hp, num_negs: int,
                               seed: int = 0) -> Dict[str, np.ndarray]:
         """Wide eval candidate grids (hp.eval_num_negs): per stored

@@ -119,27 +119,6 @@ def save_predictions(hp: HyperParams, dataset: ReviewDataset,
     return paths
 
 
-def _candidate_records(dataset: ReviewDataset, hp: HyperParams,
-                       users: np.ndarray, items: np.ndarray
-                       ) -> Dict[str, np.ndarray]:
-    """[U, C] scoring-grid records for users x candidate items — the
-    same layout the rank evaluator consumes (materialize_negs), with no
-    leakage removal (unseen pairs have no shared review to drop)."""
-    u, c = len(users), len(items)
-    user = np.repeat(users, c).reshape(u, c).astype(np.int32)
-    item = np.broadcast_to(np.asarray(items, np.int32)[None],
-                           (u, c)).copy()
-    recs = {"user": user, "item": item,
-            "rating": np.zeros((u, c), np.float32),
-            "weight": np.ones(u, np.float32)}
-    if hp.family == "review":
-        neg1 = np.full(u * c, -1, np.int32)
-        recs.update(dataset._grid_text_records(
-            hp, users.astype(np.int32), item.reshape(-1), neg1, neg1,
-            neg1, u, c))
-    return recs
-
-
 @partial(jax.jit, static_argnums=(4,))
 def _merge_topk(top_s, top_i, scores, ids, k: int):
     """Running top-k merge: fold one item-chunk's [U, C] scores into the
@@ -151,56 +130,97 @@ def _merge_topk(top_s, top_i, scores, ids, k: int):
     return vals, jnp.take_along_axis(cat_i, idx, axis=1)
 
 
+class Recommender:
+    """Reusable top-k retrieval engine for one trained model.
+
+    Construct ONCE per (model, dataset); every `topk` call reuses the
+    same jitted scorer, so repeated serving calls never recompile (the
+    r3 `recommend()` defined its jit inside the call). Catalog chunks
+    are PADDED to exactly `item_chunk` candidates, so the scorer sees
+    one static shape regardless of catalog size — one compile per
+    (users, item_chunk) geometry, tail chunks included.
+
+    The grid records come from the public
+    `ReviewDataset.candidate_grid_records`; `exclude_seen` masking uses
+    the vectorized `ReviewDataset.train_pair_mask` (no per-user Python
+    sets)."""
+
+    def __init__(self, hp: HyperParams, dataset: ReviewDataset,
+                 params=None, model=None, item_chunk: int = 512):
+        _gradient_only(hp, "Recommender")
+        hp = dataset.apply_to(hp)
+        if model is None or params is None:
+            model, params = restore_model(hp, dataset)
+        self.hp = hp
+        self.dataset = dataset
+        self.model = model
+        self.params = params
+        self.item_chunk = int(item_chunk)
+        apply_fn = make_apply_fn(model)
+        model_type = hp.model_type
+
+        @jax.jit
+        def score_step(params, batch):
+            preds = apply_fn(params, batch, False, jax.random.PRNGKey(0))
+            if model_type in ("transnet", "transnet++"):
+                preds = preds[0]         # rank by the source net
+            return jnp.where(batch.pop("mask"), -jnp.inf, preds)
+
+        self._score_step = score_step
+
+    def topk(self, users: np.ndarray, k: int = 10,
+             items: Optional[np.ndarray] = None,
+             exclude_seen: bool = True
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        """(item ids [U, k], scores [U, k]), highest first, per user.
+        The catalog (or `items` candidate list) is scored in
+        `item_chunk`-wide grid batches with a jitted running top-k
+        merge, so peak memory is one [U, item_chunk] chunk regardless
+        of catalog size."""
+        hp, dataset = self.hp, self.dataset
+        users = np.asarray(users, np.int32)
+        if items is None:
+            items = np.arange(dataset.num_items, dtype=np.int32)
+        items = np.asarray(items, np.int32)
+        k = min(k, len(items))
+        cw = self.item_chunk
+
+        top_s = jnp.full((len(users), k), -jnp.inf)
+        top_i = jnp.full((len(users), k), -1, jnp.int32)
+        for start in range(0, len(items), cw):
+            chunk = items[start:start + cw]
+            pad = cw - len(chunk)
+            if pad:  # static shape: tail chunk padded + masked out
+                chunk = np.concatenate(
+                    [chunk, np.zeros(pad, np.int32)])
+            recs = dataset.candidate_grid_records(hp, users, chunk)
+            mask = (dataset.train_pair_mask(users[:, None], chunk[None])
+                    if exclude_seen
+                    else np.zeros((len(users), cw), bool))
+            if pad:
+                mask[:, len(chunk) - pad:] = True
+            recs["mask"] = mask
+            placed = jax.tree_util.tree_map(jnp.asarray, recs)
+            scores = self._score_step(self.params, placed)
+            top_s, top_i = _merge_topk(top_s, top_i, scores,
+                                       jnp.asarray(chunk), k)
+        return np.asarray(top_i), np.asarray(top_s)
+
+    def compiled_variants(self) -> int:
+        """Number of compiled scorer specializations (1 after any number
+        of same-geometry calls — tested)."""
+        return self._score_step._cache_size()
+
+
 def recommend(hp: HyperParams, dataset: ReviewDataset,
               users: np.ndarray, k: int = 10,
               items: Optional[np.ndarray] = None,
               exclude_seen: bool = True, item_chunk: int = 512,
               params=None, model=None
               ) -> Tuple[np.ndarray, np.ndarray]:
-    """Top-k item retrieval: returns (item ids [U, k], scores [U, k]),
-    highest first, for each user — the serving operation the reference
-    has no equivalent of. The catalog (or `items` candidate list) is
-    scored in `item_chunk`-wide grid batches with a jitted running
-    top-k merge, so peak memory is one [U, item_chunk] chunk regardless
-    of catalog size. `exclude_seen` masks each user's train-set items."""
-    _gradient_only(hp, "recommend")
-    hp = dataset.apply_to(hp)
-    if model is None or params is None:
-        model, params = restore_model(hp, dataset)
-    users = np.asarray(users, np.int32)
-    if items is None:
-        items = np.arange(dataset.num_items, dtype=np.int32)
-    items = np.asarray(items, np.int32)
-    k = min(k, len(items))
-    apply_fn = make_apply_fn(model)
-
-    @jax.jit
-    def score_step(params, batch):
-        preds = apply_fn(params, batch, False, jax.random.PRNGKey(0))
-        if hp.model_type in ("transnet", "transnet++"):
-            preds = preds[0]             # rank by the source net
-        return jnp.where(jnp.asarray(batch["mask"]), -jnp.inf, preds)
-
-    seen = None
-    if exclude_seen:
-        tr = dataset.splits["train"]
-        seen = [set() for _ in range(dataset.num_users)]
-        for uu, ii in zip(tr.user, tr.item):
-            seen[int(uu)].add(int(ii))
-
-    neg_inf = jnp.full((len(users), k), -jnp.inf)
-    top_s, top_i = neg_inf, jnp.full((len(users), k), -1, jnp.int32)
-    for start in range(0, len(items), item_chunk):
-        chunk = items[start:start + item_chunk]
-        recs = _candidate_records(dataset, hp, users, chunk)
-        mask = np.zeros((len(users), len(chunk)), bool)
-        if seen is not None:
-            for ui, uu in enumerate(users):
-                mask[ui] = np.isin(chunk, list(seen[int(uu)]),
-                                   assume_unique=False)
-        recs["mask"] = mask
-        placed = jax.tree_util.tree_map(jnp.asarray, recs)
-        scores = score_step(params, placed)
-        top_s, top_i = _merge_topk(top_s, top_i, scores,
-                                   jnp.asarray(chunk), k)
-    return np.asarray(top_i), np.asarray(top_s)
+    """One-shot convenience wrapper over `Recommender` (which is the
+    serving API — hold one instance to amortize compilation across
+    calls)."""
+    rec = Recommender(hp, dataset, params=params, model=model,
+                      item_chunk=item_chunk)
+    return rec.topk(users, k=k, items=items, exclude_seen=exclude_seen)

@@ -228,7 +228,8 @@ def doc_cache_keys(model_type: str, sides: str = "both"
 def build_doc_cache(records: Dict, word_vectors, dtype,
                     paired_window: Optional[int] = None,
                     keys: Tuple[str, ...] = DOC_KEYS,
-                    id_keys: Tuple[str, ...] = ()) -> Dict:
+                    id_keys: Tuple[str, ...] = (),
+                    chunk_words: int = 4_096_000) -> Dict:
     """Device-resident record cache with the frozen-table doc tensors
     PRE-EMBEDDED (int ids [..., T] -> float [..., T, E]): the word table
     never changes, so each example's doc embedding is static for the
@@ -248,24 +249,54 @@ def build_doc_cache(records: Dict, word_vectors, dtype,
     `keys` limits which DOC_KEYS are pre-embedded and `id_keys` which
     stay raw int ids on device (doc_cache_keys / hp.cache_sides); a doc
     tensor in neither set is dropped from the cache entirely — no HBM,
-    no per-step gather bandwidth."""
+    no per-step gather bandwidth.
+
+    The embedding is built CHUNKED on device: embedding a whole split in
+    one op needs transient HBM ≈ 2x the final array (gather output +
+    relayout copy), which OOMs exactly the large splits the cache is
+    for (e2e: 10.2 GB final, >20 GB transient). Instead chunks of
+    examples are embedded and written into one preallocated buffer via
+    a donated dynamic_update_slice — peak HBM = buffer + one chunk."""
     table = jnp.asarray(word_vectors).astype(dtype)
+
+    def embed(ids: np.ndarray):
+        emb = jnp.take(table, jnp.asarray(ids), axis=0)
+        if paired_window is not None:
+            from ..ops.textcnn_pallas import paired_operand
+            lead, tail = emb.shape[:-2], emb.shape[-2:]
+            pp = paired_operand(emb.reshape((-1,) + tail),
+                                paired_window, dtype)
+            emb = pp.reshape(lead + pp.shape[1:])
+        return emb.astype(dtype)
+
+    @partial(jax.jit, donate_argnums=_donate())
+    def write(buf, chunk, start):
+        # traced start: ONE compile per chunk shape (full + tail), not
+        # one per offset; donation makes the update in-place
+        idx = (start,) + (jnp.zeros((), jnp.int32),) * (buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(buf, chunk, idx)
+
     cache = {}
     for k, v in records.items():
         if k in DOC_KEYS and k not in keys and k not in id_keys:
             continue
-        arr = jnp.asarray(np.asarray(v))
         if k in DOC_KEYS and k in keys:
-            emb = jnp.take(table, arr, axis=0)
-            if paired_window is not None:
-                from ..ops.textcnn_pallas import paired_operand
-                lead, tail = emb.shape[:-2], emb.shape[-2:]
-                pp = paired_operand(emb.reshape((-1,) + tail),
-                                    paired_window, dtype)
-                emb = pp.reshape(lead + pp.shape[1:])
-            cache[k] = emb
+            ids = np.asarray(v)
+            n = ids.shape[0]
+            step = max(1, chunk_words // max(
+                int(np.prod(ids.shape[1:])), 1))
+            first = embed(ids[:min(step, n)])
+            if n <= step:
+                cache[k] = first
+                continue
+            buf = jnp.zeros((n,) + first.shape[1:], first.dtype)
+            buf = write(buf, first, start=0)
+            for s in range(step, n, step):
+                e = min(s + step, n)
+                buf = write(buf, embed(ids[s:e]), start=s)
+            cache[k] = buf
         else:
-            cache[k] = arr
+            cache[k] = jnp.asarray(np.asarray(v))
     return cache
 
 

@@ -141,6 +141,11 @@ def test_cache_rejected_outside_frozen_towers(dataset, hp_base):
                                         cache_doc_embeds=True))
 
 
+def _strip_timing(m):
+    """api.run metrics minus wall-clock throughput (not deterministic)."""
+    return {k: v for k, v in m.items() if "examples_per_s" not in k}
+
+
 def test_cached_mesh_matches_single_device(dataset, hp_base):
     """cache_doc_embeds composes with the mesh: the cache is row-sharded
     over the data axis (parallel.mesh.shard_cache) and the full product
@@ -153,7 +158,7 @@ def test_cached_mesh_matches_single_device(dataset, hp_base):
                          shuffle_data_every_epoch=True)
     m1, _, _ = run(hp, dataset)
     m2, _, _ = run(hp.replace(mesh_shape=(4, 2)), dataset)
-    assert m1 == m2
+    assert _strip_timing(m1) == _strip_timing(m2)
 
 
 def test_cached_scan_mesh_matches_single_device(dataset, hp_base):
@@ -166,4 +171,22 @@ def test_cached_scan_mesh_matches_single_device(dataset, hp_base):
                          save_model=False)
     m1, _, _ = run(hp, dataset)
     m2, _, _ = run(hp.replace(mesh_shape=(4, 2), batch_size=16), dataset)
-    assert m1 == m2
+    assert _strip_timing(m1) == _strip_timing(m2)
+
+
+def test_chunked_cache_build_bitwise(dataset, hp_base):
+    """The chunked device cache build (donated dynamic_update_slice
+    writer — transient HBM = buffer + one chunk, not 2x the buffer)
+    produces the identical arrays to a one-shot build, padding/paired
+    layout included."""
+    import jax.numpy as jnp
+    from reviews4rec_tpu.train.loop import build_doc_cache
+
+    hp = hp_base.replace(model_type="deepconn")
+    recs = dataset.materialize(hp, "train")
+    one = build_doc_cache(recs, dataset.word_vectors, jnp.float32,
+                          paired_window=3)
+    few = build_doc_cache(recs, dataset.word_vectors, jnp.float32,
+                          paired_window=3, chunk_words=7 * 64)
+    for k in one:
+        assert np.array_equal(np.asarray(one[k]), np.asarray(few[k])), k

@@ -86,3 +86,24 @@ def test_serve_rejects_non_gradient(dataset, hp_base):
     with pytest.raises(ValueError):
         recommend(hp_base.replace(model_type="SVD"), dataset,
                   np.array([0]))
+
+
+def test_recommender_reuses_compilation(trained, dataset):
+    """The serving engine compiles its scorer once per geometry: a
+    second topk call (and tail chunks, which are padded to the chunk
+    width) adds no new specializations."""
+    from reviews4rec_tpu.serve import Recommender
+
+    hp, _ = trained
+    rec = Recommender(hp, dataset, item_chunk=8)
+    users = np.array([0, 1, 2])
+    i1, s1 = rec.topk(users, k=4)     # catalog 30 -> 3 full + 1 padded
+    n = rec.compiled_variants()
+    assert n == 1                     # padding keeps one static shape
+    i2, s2 = rec.topk(users, k=4)
+    assert rec.compiled_variants() == n
+    assert np.array_equal(i1, i2) and np.array_equal(s1, s2)
+
+    # and it agrees with the one-shot wrapper
+    i3, s3 = recommend(hp, dataset, users, k=4, item_chunk=8)
+    assert np.array_equal(i1, i3)
