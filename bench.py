@@ -309,20 +309,13 @@ def time_hft(ds, iters: int = 4) -> float:
     raise RuntimeError("non-positive HFT slope after retry")
 
 
-def time_recommend(catalog: int = 10_000, n_users: int = 32) -> float:
-    """Serving throughput: users/s for full-catalog top-10 retrieval
-    over a `catalog`-item corpus with the flagship review tower
-    (serve.Recommender: one compiled scorer, padded 512-item chunks,
-    on-device running top-k merge). Counts the whole pipeline — host
-    grid materialization + transfer + scoring — since that IS the
-    serving cost."""
+def _serving_setup(catalog: int, n_users: int):
     import jax
 
     from reviews4rec_tpu.config import HyperParams
     from reviews4rec_tpu.data.batcher import Batcher
     from reviews4rec_tpu.data.synthetic import make_synthetic
     from reviews4rec_tpu.models import build_model
-    from reviews4rec_tpu.serve import Recommender
 
     ds = make_synthetic(num_users=64, num_items=catalog, vocab=2000,
                         interactions_per_user=(10, 20), seed=0)
@@ -335,6 +328,19 @@ def time_recommend(catalog: int = 10_000, n_users: int = 32) -> float:
     rng = jax.random.PRNGKey(0)
     params = model.init({"params": rng, "dropout": rng}, b,
                         train=False)["params"]
+    return ds, hp, model, params
+
+
+def time_recommend(catalog: int = 10_000, n_users: int = 32) -> float:
+    """Serving throughput: users/s for full-catalog top-10 retrieval
+    over a `catalog`-item corpus with the flagship review tower
+    (serve.Recommender: one compiled scorer, padded 512-item chunks,
+    on-device running top-k merge). Counts the whole pipeline — host
+    grid materialization + transfer + scoring — since that IS the
+    serving cost."""
+    from reviews4rec_tpu.serve import Recommender
+
+    ds, hp, model, params = _serving_setup(catalog, n_users)
     rec = Recommender(hp, ds, params=params, model=model)
     users = np.arange(n_users)
     rec.topk(users, k=10)                  # warm: compile + host caches
@@ -344,6 +350,27 @@ def time_recommend(catalog: int = 10_000, n_users: int = 32) -> float:
         rec.topk(users, k=10)              # returns np => full sync
     dt = time.perf_counter() - t0
     return n_users * reps / dt
+
+
+def time_recommend_factorized(catalog: int = 10_000, n_users: int = 32
+                              ) -> Tuple[float, float]:
+    """(users/s, index_build_s) for the two-tower factorized index
+    (serve.FactorizedRecommender): the catalog's item tower runs once
+    at build; each query is user-tower encode + one [U, C] matmul."""
+    from reviews4rec_tpu.serve import FactorizedRecommender
+
+    ds, hp, model, params = _serving_setup(catalog, n_users)
+    t0 = time.perf_counter()
+    rec = FactorizedRecommender(hp, ds, params=params, model=model)
+    build_s = time.perf_counter() - t0
+    users = np.arange(n_users)
+    rec.topk(users, k=10)                  # warm
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        rec.topk(users, k=10)
+    dt = time.perf_counter() - t0
+    return n_users * reps / dt, build_s
     """Reference-style torch implementation of the flagship on CPU
     (reference DeepCoNN.py semantics), forward+backward+Adam."""
     import torch
@@ -536,6 +563,15 @@ def main():
         except Exception as exc:
             rows["recommend@10k"] = None
             log(f"{'recommend@10k':28s} FAILED: {exc}")
+        try:
+            f_ups, build_s = time_recommend_factorized()
+            rows["recommend_factorized@10k"] = round(f_ups, 1)
+            log(f"{'recommend_factorized@10k':28s} {f_ups:12,.1f} "
+                f"users/s (two-tower index; catalog encoded once in "
+                f"{build_s:.1f}s)")
+        except Exception as exc:
+            rows["recommend_factorized@10k"] = None
+            log(f"{'recommend_factorized@10k':28s} FAILED: {exc}")
 
     # HEADLINE config is PINNED BY NAME so BENCH_rN values compare the
     # same computation round over round (r3 lesson: max-of-table let the

@@ -53,16 +53,23 @@ def _alpha(n: int) -> str:
 
 def generate_dump(path: str, target_interactions: int, seed: int = 0):
     """Amazon-style JSON-lines with planted structure: zipfian item
-    popularity (real catalogs are heavy-tailed), mu + b_u + b_i +
-    rank-6 interaction ratings, and review text whose sentiment words
-    correlate with the rating and whose topic words correlate with the
-    item (the signal HFT/word2vec exploit)."""
+    popularity (real catalogs are heavy-tailed), and ratings
+    mu + b_u + b_i + affinity_u[topic_i] + low-rank residual + noise.
+
+    The TEXT carries the interaction, the way real reviews do (the
+    user explains WHY they liked it): each review is built from
+    sentiment+topic word PAIRS — a sentiment word (matching this
+    review's rating) immediately followed by one of the item's topic
+    words. A user's doc therefore reveals their per-topic affinity
+    through adjacent (sentiment, topic) bigrams — learnable by a
+    window>=2 conv + FM cross-term (DeepCoNN's mechanism) and by HFT's
+    topic-factor coupling — while the item doc's topic words identify
+    topic_i. Filler words are zipfian. All words letters-only (see
+    _alpha)."""
     rng = np.random.default_rng(seed)
     num_users = max(target_interactions // 40, 10)
     num_items = max(target_interactions // 66, 10)
 
-    # vocabulary: sentiment pools + per-topic pools + zipfian filler
-    # (all words letters-only — see _alpha)
     pos_words = [f"good{_alpha(j)}" for j in range(40)]
     neg_words = [f"bad{_alpha(j)}" for j in range(40)]
     n_topics = 12
@@ -72,10 +79,15 @@ def generate_dump(path: str, target_interactions: int, seed: int = 0):
     zipf_p = 1.0 / np.arange(1, len(filler) + 1)
     zipf_p /= zipf_p.sum()
 
-    pu = rng.normal(0.0, 1.0, (num_users, 6))
-    qi = rng.normal(0.0, 1.0, (num_items, 6))
     bu = rng.normal(0.0, 0.35, num_users)
     bi = rng.normal(0.0, 0.35, num_items)
+    # per-user topic affinity: a few loved / disliked topics each —
+    # THE interaction signal, recoverable from review text alone
+    affinity = rng.choice([-0.6, 0.0, 0.7], size=(num_users, n_topics),
+                          p=[0.25, 0.5, 0.25])
+    # small free low-rank residual no text can explain (keeps MF honest)
+    pu = rng.normal(0.0, 1.0, (num_users, 2))
+    qi = rng.normal(0.0, 1.0, (num_items, 2))
     item_topic = rng.integers(0, n_topics, num_items)
     mu = 3.6
 
@@ -91,24 +103,27 @@ def generate_dump(path: str, target_interactions: int, seed: int = 0):
                                replace=False, p=item_pop)
             for i in items:
                 i = int(i)
-                raw = (mu + bu[u] + bi[i] + 0.4 * float(pu[u] @ qi[i])
+                t = int(item_topic[i])
+                raw = (mu + bu[u] + bi[i] + float(affinity[u, t])
+                       + 0.15 * float(pu[u] @ qi[i])
                        + rng.normal(0.0, 0.3))
                 r = float(np.clip(np.rint(raw), 1.0, 5.0))
                 length = int(np.clip(rng.lognormal(3.5, 0.7), 8, 250))
-                n_sent = max(int(length * 0.15), 1)
-                n_topic = max(int(length * 0.2), 1)
+                n_pairs = max(int(length * 0.18), 2)
                 pool = pos_words if r >= 4.0 else (
                     neg_words if r <= 2.0 else pos_words + neg_words)
-                words = list(rng.choice(pool, n_sent))
-                words += list(rng.choice(topic_words[item_topic[i]],
-                                         n_topic))
-                words += list(rng.choice(filler,
-                                         length - n_sent - n_topic,
-                                         p=zipf_p))
-                rng.shuffle(words)
+                sent = rng.choice(pool, n_pairs)
+                tops = rng.choice(topic_words[t], n_pairs)
+                n_fill = max(length - 2 * n_pairs, 0)
+                fills = rng.choice(filler, n_fill, p=zipf_p)
+                # interleave (sentiment, topic) bigrams among filler so
+                # the pair survives inside a conv window
+                phrases = [f"{s} {tw}" for s, tw in zip(sent, tops)]
+                phrases += list(fills)
+                rng.shuffle(phrases)
                 f.write(json.dumps({
                     "reviewerID": f"U{u}", "asin": f"I{i}",
-                    "overall": r, "reviewText": " ".join(words)}) + "\n")
+                    "overall": r, "reviewText": " ".join(phrases)}) + "\n")
                 n_written += 1
     print(f"generated {n_written} interactions "
           f"({num_users} users x {num_items} items) in "

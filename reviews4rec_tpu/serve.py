@@ -224,3 +224,140 @@ def recommend(hp: HyperParams, dataset: ReviewDataset,
     rec = Recommender(hp, dataset, params=params, model=model,
                       item_chunk=item_chunk)
     return rec.topk(users, k=k, items=items, exclude_seen=exclude_seen)
+
+
+class FactorizedRecommender:
+    """Two-tower serving index for models whose head factorizes exactly
+    into per-user and per-item terms: full-catalog scoring becomes one
+    [U, C] matmul on the MXU instead of U x C joint forward passes.
+
+    Supported heads (score(u, i) = us(u) + is(i) + a(u).b(i)):
+    - bias_only / MF_dot: trivially (biases + embedding dot)
+    - deepconn (FM head): Rendle's FM over cat(u_feat, i_feat) splits as
+        0.5*sum[(au+bi)^2 - cu - di] = su + si + au.bi
+      with au = u V_u, bi = i V_i, cu = u^2 V_u^2, di = i^2 V_i^2,
+      su/si their per-side halves — ALGEBRAICALLY identical to the
+      pairwise FM (floating-point reassociation only; verified vs the
+      grid Recommender at 1e-4).
+
+    The catalog's item tower runs ONCE at construction (`item_chunk`
+    docs at a time); `topk` then encodes only the query users and
+    scores the whole catalog with one matmul per score-chunk — the
+    serving design the pairwise grid path cannot reach. Non-factorizing
+    heads (deepconn++'s MLP, transnet, MPCN, NARRE's hadamard-MLP)
+    raise; use `Recommender`."""
+
+    SUPPORTED = ("bias_only", "MF_dot", "deepconn")
+
+    def __init__(self, hp: HyperParams, dataset: ReviewDataset,
+                 params=None, model=None, item_chunk: int = 1024,
+                 items: Optional[np.ndarray] = None):
+        _gradient_only(hp, "FactorizedRecommender")
+        hp = dataset.apply_to(hp)
+        if hp.model_type not in self.SUPPORTED:
+            raise ValueError(
+                f"{hp.model_type!r} has no exact two-tower "
+                f"factorization (supported: {self.SUPPORTED}); use "
+                f"Recommender")
+        if model is None or params is None:
+            model, params = restore_model(hp, dataset)
+        self.hp = hp
+        self.dataset = dataset
+        self.params = params
+        if items is None:
+            items = np.arange(dataset.num_items, dtype=np.int32)
+        self.items = np.asarray(items, np.int32)
+
+        if hp.model_type == "deepconn":
+            self._build_deepconn(hp, dataset, params, item_chunk)
+        else:
+            self._build_mf(hp, params)
+        self._score_chunk = jax.jit(
+            lambda uv, us, iv, isc: us[:, None] + isc[None, :]
+            + (uv @ iv.T if uv is not None else 0.0))
+
+    # ---- index builders ------------------------------------------------
+    def _build_mf(self, hp: HyperParams, params):
+        ub = jnp.asarray(params["user_bias"])
+        ib = jnp.asarray(params["item_bias"])
+        gb = float(np.asarray(params["global_bias"])[0])
+        ids = jnp.asarray(self.items)
+        self.item_scal = jnp.take(ib, ids, axis=0) + gb
+        if hp.model_type == "MF_dot":
+            ie = jnp.asarray(params["item_embedding"])
+            self.item_vec = jnp.take(ie, ids, axis=0)
+            ue = jnp.asarray(params["user_embedding"])
+            self._user_enc = lambda users: (
+                jnp.take(ue, jnp.asarray(users), axis=0),
+                jnp.take(ub, jnp.asarray(users), axis=0))
+        else:
+            self.item_vec = None
+            self._user_enc = lambda users: (
+                None, jnp.take(ub, jnp.asarray(users), axis=0))
+
+    def _build_deepconn(self, hp: HyperParams, dataset, params,
+                        item_chunk: int):
+        from .models.layers import TextCNN
+
+        L = hp.latent_size
+        wv = jnp.asarray(params["word_vectors"])
+        v = jnp.asarray(params["fm"]["V"])            # [2L, k]
+        w = jnp.asarray(params["fm"]["lin"]["kernel"])[:, 0]
+        b = float(np.asarray(params["fm"]["lin"]["bias"])[0])
+        gb = float(np.asarray(params["global_bias"])[0])
+        vu, vi = v[:L], v[L:]
+        wu, wi = w[:L], w[L:]
+        cnn = TextCNN(hp.latent_size, hp.dropout)
+
+        @jax.jit
+        def item_enc(docs):
+            f = cnn.apply({"params": params["item_conv"]}, docs,
+                          train=False, table=wv)
+            bi = f @ vi
+            si = 0.5 * jnp.sum(bi * bi - (f * f) @ (vi * vi), axis=-1)
+            return bi, si + f @ wi + b + gb
+
+        @jax.jit
+        def user_enc_feats(docs):
+            f = cnn.apply({"params": params["user_conv"]}, docs,
+                          train=False, table=wv)
+            au = f @ vu
+            su = 0.5 * jnp.sum(au * au - (f * f) @ (vu * vu), axis=-1)
+            return au, su + f @ wu
+
+        vecs, scals = [], []
+        for s in range(0, len(self.items), item_chunk):
+            chunk = self.items[s:s + item_chunk]
+            recs = dataset.candidate_grid_records(
+                hp, np.zeros(1, np.int32), chunk)
+            docs = jnp.asarray(recs["item_doc"][0])   # [C, T]
+            bi, isc = item_enc(docs)
+            vecs.append(bi)
+            scals.append(isc)
+        self.item_vec = jnp.concatenate(vecs)
+        self.item_scal = jnp.concatenate(scals)
+
+        def user_enc(users):
+            recs = dataset.candidate_grid_records(
+                hp, np.asarray(users, np.int32), np.zeros(1, np.int32))
+            docs = jnp.asarray(recs["user_doc"][:, 0])  # [U, T]
+            return user_enc_feats(docs)
+
+        self._user_enc = user_enc
+
+    # ---- queries -------------------------------------------------------
+    def topk(self, users: np.ndarray, k: int = 10,
+             exclude_seen: bool = True
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        users = np.asarray(users, np.int32)
+        k = min(k, len(self.items))
+        uv, us = self._user_enc(users)
+        scores = np.asarray(self._score_chunk(uv, us, self.item_vec,
+                                              self.item_scal))
+        if exclude_seen:
+            mask = self.dataset.train_pair_mask(users[:, None],
+                                                self.items[None])
+            scores = np.where(mask, -np.inf, scores)
+        idx = np.argsort(-scores, axis=1)[:, :k]
+        return (self.items[idx],
+                np.take_along_axis(scores, idx, axis=1))

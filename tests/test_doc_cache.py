@@ -43,6 +43,7 @@ def test_cached_pallas_interpret_parity(dataset, hp_base):
     _assert_bitwise(p1, p2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model_type", ["NARRE", "transnet"])
 def test_cached_pallas_prepaired_other_towers(dataset, hp_base,
                                               model_type):
@@ -146,6 +147,7 @@ def _strip_timing(m):
     return {k: v for k, v in m.items() if "examples_per_s" not in k}
 
 
+@pytest.mark.slow
 def test_cached_mesh_matches_single_device(dataset, hp_base):
     """cache_doc_embeds composes with the mesh: the cache is row-sharded
     over the data axis (parallel.mesh.shard_cache) and the full product

@@ -179,6 +179,7 @@ def test_hft_artifacts(tmp_path, dataset, hp_base):
         float(p), float(v)
 
 
+@pytest.mark.slow
 def test_hft_sharded_em_matches_single_device(dataset, hp_base):
     """HFT EM over the mesh data axis (vote + token-stream sharding,
     replacing the C++ OpenMP loops language.cpp:259-321): sharded

@@ -122,6 +122,7 @@ def test_fused_gather_generic_layout():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_deepconn_fuse_gather_matches_unfused(dataset, hp_base):
     """Product path: deepconn with use_pallas trains identically with
     the gather fused or unfused (interpret mode keeps f32 everywhere, so

@@ -86,6 +86,7 @@ def test_sharded_step_matches_single_device(dataset, hp_base, mt):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5), ka
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)  # must not raise
@@ -201,6 +202,7 @@ def test_sharded_lookup_a2a_matches_gather():
     assert np.array_equal(np.asarray(got), expect)
 
 
+@pytest.mark.slow
 def test_sharded_lookup_a2a_grad_flows_to_table():
     """Training row-sharded tables through the a2a exchange: the table
     gradient must equal the dense gather's scatter-add gradient."""
@@ -225,6 +227,7 @@ def test_sharded_lookup_a2a_grad_flows_to_table():
     assert np.allclose(np.asarray(g_a2a), np.asarray(g_dense))
 
 
+@pytest.mark.slow
 def test_api_run_seq_parallel_matches_default(dataset, hp_base):
     """hp.seq_parallel=True in the PRODUCT path: every TextCNN runs the
     halo-exchange time-sharded conv on the model axis, composed with
@@ -247,6 +250,7 @@ def test_seq_parallel_requires_model_axis(dataset, hp_base):
         build_model(hp, dataset.word_vectors, mesh=None)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy", ["psum", "a2a"])
 def test_make_lookup_matches_take_value_and_grad(strategy):
     """hp.embedding_lookup strategies (parallel/embedding.make_lookup):
@@ -285,6 +289,7 @@ def test_make_lookup_requires_model_axis():
         make_lookup("bogus", make_mesh((2, 4)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy", ["psum", "a2a"])
 def test_api_run_embedding_lookup_matches_gspmd(dataset, hp_base,
                                                 strategy):

@@ -107,3 +107,42 @@ def test_recommender_reuses_compilation(trained, dataset):
     # and it agrees with the one-shot wrapper
     i3, s3 = recommend(hp, dataset, users, k=4, item_chunk=8)
     assert np.array_equal(i1, i3)
+
+
+def test_factorized_matches_grid_mf(trained, dataset):
+    """Two-tower factorized index == pairwise grid scoring for MF_dot
+    (identical math, different evaluation order)."""
+    from reviews4rec_tpu.serve import FactorizedRecommender, Recommender
+
+    hp, _ = trained
+    users = np.array([0, 3, 7])
+    gi, gs = Recommender(hp, dataset, item_chunk=8).topk(users, k=5)
+    fi, fs = FactorizedRecommender(hp, dataset).topk(users, k=5)
+    assert np.allclose(gs, fs, atol=1e-4)
+    assert np.array_equal(gi, fi)
+
+
+def test_factorized_matches_grid_deepconn(tmp_path, dataset, hp_base):
+    """The FM head's per-side split (su + si + au.bi) reproduces the
+    joint FM over cat(u, i) — full-catalog serving via one matmul."""
+    from reviews4rec_tpu.api import run
+    from reviews4rec_tpu.serve import FactorizedRecommender, Recommender
+
+    hp = hp_base.replace(model_type="deepconn", epochs=1,
+                         model_dir=str(tmp_path / "m"),
+                         log_dir=str(tmp_path / "l"))
+    run(hp, dataset)
+    users = np.array([1, 4])
+    gi, gs = Recommender(hp, dataset, item_chunk=16).topk(users, k=5)
+    fi, fs = FactorizedRecommender(hp, dataset, item_chunk=16).topk(
+        users, k=5)
+    assert np.allclose(gs, fs, atol=1e-4)
+    assert np.array_equal(gi, fi)
+
+
+def test_factorized_rejects_nonfactorizable(dataset, hp_base):
+    from reviews4rec_tpu.serve import FactorizedRecommender
+
+    with pytest.raises(ValueError, match="factorization"):
+        FactorizedRecommender(hp_base.replace(model_type="deepconn++"),
+                              dataset)
