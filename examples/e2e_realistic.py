@@ -70,8 +70,13 @@ def generate_dump(path: str, target_interactions: int, seed: int = 0):
     num_users = max(target_interactions // 40, 10)
     num_items = max(target_interactions // 66, 10)
 
-    pos_words = [f"good{_alpha(j)}" for j in range(40)]
-    neg_words = [f"bad{_alpha(j)}" for j in range(40)]
+    # 5 GRADED sentiment pools, one per discretized quality level: the
+    # review's words reflect the pair's NOISELESS score, so text
+    # denoises what the observed (noisy, integer-rounded) rating blurs
+    # — the realistic edge review models need (a rating conflates mood
+    # and noise; the prose is the more precise signal)
+    level_words = [[f"lv{_alpha(lv)}s{_alpha(j)}" for j in range(40)]
+                   for lv in range(5)]
     n_topics = 12
     topic_words = [[f"top{_alpha(t)}q{_alpha(j)}" for j in range(60)]
                    for t in range(n_topics)]
@@ -83,13 +88,13 @@ def generate_dump(path: str, target_interactions: int, seed: int = 0):
     bi = rng.normal(0.0, 0.35, num_items)
     # per-user topic affinity: a few loved / disliked topics each —
     # THE interaction signal, recoverable from review text alone
-    affinity = rng.choice([-0.6, 0.0, 0.7], size=(num_users, n_topics),
+    affinity = rng.choice([-0.8, 0.0, 0.8], size=(num_users, n_topics),
                           p=[0.25, 0.5, 0.25])
     # small free low-rank residual no text can explain (keeps MF honest)
     pu = rng.normal(0.0, 1.0, (num_users, 2))
     qi = rng.normal(0.0, 1.0, (num_items, 2))
     item_topic = rng.integers(0, n_topics, num_items)
-    mu = 3.6
+    mu = 3.2
 
     item_pop = 1.0 / np.arange(1, num_items + 1) ** 0.8
     item_pop /= item_pop.sum()
@@ -104,15 +109,14 @@ def generate_dump(path: str, target_interactions: int, seed: int = 0):
             for i in items:
                 i = int(i)
                 t = int(item_topic[i])
-                raw = (mu + bu[u] + bi[i] + float(affinity[u, t])
-                       + 0.15 * float(pu[u] @ qi[i])
-                       + rng.normal(0.0, 0.3))
-                r = float(np.clip(np.rint(raw), 1.0, 5.0))
+                clean = (mu + bu[u] + bi[i] + float(affinity[u, t])
+                         + 0.15 * float(pu[u] @ qi[i]))
+                r = float(np.clip(np.rint(clean + rng.normal(0.0, 0.35)),
+                                  1.0, 5.0))
+                level = int(np.clip(np.rint(clean), 1, 5)) - 1
                 length = int(np.clip(rng.lognormal(3.5, 0.7), 8, 250))
                 n_pairs = max(int(length * 0.18), 2)
-                pool = pos_words if r >= 4.0 else (
-                    neg_words if r <= 2.0 else pos_words + neg_words)
-                sent = rng.choice(pool, n_pairs)
+                sent = rng.choice(level_words[level], n_pairs)
                 tops = rng.choice(topic_words[t], n_pairs)
                 n_fill = max(length - 2 * n_pairs, 0)
                 fills = rng.choice(filler, n_fill, p=zipf_p)
@@ -193,15 +197,26 @@ def main():
             # sides is ~20 GB for this corpus (exceeds one v5e's 16 GB
             # HBM), so the item side is cached as floats and the user
             # side as raw device ids (hp.cache_sides) — bitwise
-            # identical, ~10 GB.
-            extra = ["--epochs", "25", "--early_stop", "3",
+            # identical, ~10 GB. Text features develop slowly under the
+            # reference's dropout-0.6 protocol: give the run epoch room
+            # (each epoch is <1 s on this path anyway).
+            extra = ["--epochs", "60", "--early_stop", "5",
                      "--use_pallas", "true", "--scan_steps", "10",
                      "--cache_doc_embeds", "true",
                      "--cache_sides", "item"]
         elif mt == "MPCN":
-            extra = ["--epochs", "25", "--early_stop", "3"]
+            # reference default L2 1e-8 overfits this corpus size in
+            # <10 epochs (trained-from-scratch word embeddings);
+            # mpcn_l2 is the reference's own parser knob
+            extra = ["--epochs", "40", "--early_stop", "5",
+                     "--mpcn_l2", "1e-4"]
+        elif mt == "HFT":
+            # latent_reg 0 (reference default) lets gamma_u overfit
+            # (train 0.11 / val 0.88 on a 20k sandbox); the reference
+            # exposes latent_reg for exactly this
+            extra = ["--latent_reg", "1.0"]
         elif mt in ("MF_dot", "bias_only"):
-            extra = ["--epochs", "15", "--early_stop", "3",
+            extra = ["--epochs", "30", "--early_stop", "5",
                      "--scan_steps", "10"]
         out = run_cli([sys.executable, "-m", "reviews4rec_tpu",
                        "--model_type", mt, "--dataset", "e2e",
