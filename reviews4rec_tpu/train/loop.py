@@ -612,6 +612,10 @@ def train_complete(hp: HyperParams, model, dataset, *,
                 "is built as one global device array per split, which a "
                 "multi-process runtime cannot device_put; drop the cache "
                 "or run single-host")
+        # an epochs=0 run (smoke/eval-only) never trains: skip the
+        # (HBM-expensive) cache build entirely
+        use_cache = hp.epochs > 0
+    if use_cache:
         pw = paired_window_for(hp)
         ck, idk = doc_cache_keys(hp.model_type, hp.cache_sides)
         train_cache = build_doc_cache(train_recs, dataset.word_vectors,
@@ -622,6 +626,9 @@ def train_complete(hp: HyperParams, model, dataset, *,
         # but yielding row indices into the device cache
         row_b = Batcher({"row": np.arange(train_b.n)}, hp.batch_size,
                         shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
+        # ranking mode validates by HR@1 over candidate grids through
+        # eval_ranking (uncached — one [N, C] pass per epoch); only the
+        # pointwise val eval consumes a cache
         val_cache = (build_doc_cache(val_recs, dataset.word_vectors,
                                      cache_dtype_for(hp),
                                      paired_window=pw, keys=ck,
