@@ -371,6 +371,9 @@ def time_recommend_factorized(catalog: int = 10_000, n_users: int = 32
         rec.topk(users, k=10)
     dt = time.perf_counter() - t0
     return n_users * reps / dt, build_s
+
+
+def bench_torch_baseline() -> float:
     """Reference-style torch implementation of the flagship on CPU
     (reference DeepCoNN.py semantics), forward+backward+Adam."""
     import torch

@@ -49,14 +49,15 @@ def _finalize(hp, model, params, dataset, quiet: bool, mesh=None):
         metrics.update(eval_ranking(
             rank_step, params, neg_recs, hp.replace(eval_ks=narrow_ks),
             batch_size=rank_bs, mesh=mesh))
-        wide_recs = dataset.materialize_wide_negs(hp, hp.eval_num_negs,
-                                                  seed=hp.seed)
-        wide_bs = max(1, rank_bs // 4) if hp.uses_reviews else rank_bs
-        if mesh is not None:
-            wide_bs = -(-wide_bs // n_data) * n_data
-        metrics.update(eval_ranking(
-            rank_step, params, wide_recs, hp.replace(eval_ks=wide_ks),
-            batch_size=wide_bs, mesh=mesh))
+        if wide_ks:  # don't build multi-GB doc grids for zero metrics
+            wide_recs = dataset.materialize_wide_negs(
+                hp, hp.eval_num_negs, seed=hp.seed)
+            wide_bs = max(1, rank_bs // 4) if hp.uses_reviews else rank_bs
+            if mesh is not None:
+                wide_bs = -(-wide_bs // n_data) * n_data
+            metrics.update(eval_ranking(
+                rank_step, params, wide_recs, hp.replace(eval_ks=wide_ks),
+                batch_size=wide_bs, mesh=mesh))
     else:
         metrics.update(eval_ranking(rank_step, params, neg_recs, hp,
                                     batch_size=rank_bs, mesh=mesh))

@@ -147,10 +147,12 @@ class ReviewDataset:
         """(found_mask, ui_idx, iu_idx) for parallel (u, i) arrays."""
         keys, a, b = self._ti_lookup()
         q = user.astype(np.int64) * self.num_items + item.astype(np.int64)
+        if len(keys) == 0:
+            z = np.zeros(q.shape, np.int32)
+            return np.zeros(q.shape, bool), z, z
         pos = np.searchsorted(keys, q)
-        safe = np.minimum(pos, max(len(keys) - 1, 0))
-        found = (len(keys) > 0) & (keys[safe] == q)
-        return found, a[safe], b[safe]
+        safe = np.minimum(pos, len(keys) - 1)
+        return keys[safe] == q, a[safe], b[safe]
 
     # ------------------------------------------------------------------
     # Flat (CSR-style) review store shared by the native and numpy
@@ -247,11 +249,12 @@ class ReviewDataset:
             this_rev = np.where(found, base[user] + a, -1).astype(np.int32)
         else:
             keys, rids = flat["eval_keys"], flat["eval_rids"]
-            q = user.astype(np.int64) * self.num_items + item
-            pos = np.searchsorted(keys, q)
-            safe = np.minimum(pos, max(len(keys) - 1, 0))
-            found = (len(keys) > 0) & (keys[safe] == q)
-            this_rev = np.where(found, rids[safe], -1).astype(np.int32)
+            if len(keys):
+                q = user.astype(np.int64) * self.num_items + item
+                pos = np.searchsorted(keys, q)
+                safe = np.minimum(pos, len(keys) - 1)
+                this_rev = np.where(keys[safe] == q, rids[safe],
+                                    -1).astype(np.int32)
         return user, item, ui_idx, iu_idx, this_rev
 
     # ------------------------------------------------------------------
@@ -648,23 +651,33 @@ class ReviewDataset:
         m = int(self.neg_users.shape[0])
         c = num_negs + 1
         rng = np.random.default_rng(seed)
-        seen: List[set] = [set() for _ in range(self.num_users)]
-        for s in self.splits.values():
-            for u, i in zip(s.user, s.item):
-                seen[int(u)].add(int(i))
+        # sorted-key membership over ALL splits (train_pair_mask's
+        # primitive) — no per-user Python sets or per-candidate loops
+        all_keys = np.unique(np.concatenate(
+            [s.user.astype(np.int64) * self.num_items + s.item
+             for s in self.splits.values()]))
+
+        def interacted(users_2d, items_2d):
+            q = (users_2d.astype(np.int64) * self.num_items
+                 + items_2d.astype(np.int64))
+            if len(all_keys) == 0:
+                return np.zeros(q.shape, bool)
+            pos = np.minimum(np.searchsorted(all_keys, q),
+                             len(all_keys) - 1)
+            return all_keys[pos] == q
 
         cands = np.empty((m, c), np.int32)
         cands[:, 0] = self.neg_cands[:, 0]
-        draw = rng.integers(0, self.num_items, size=(m, num_negs))
-        for x in range(m):
-            su = seen[int(self.neg_users[x])]
-            for j in range(num_negs):
-                v = int(draw[x, j])
-                for _ in range(10):  # bounded rejection (train_negs)
-                    if v not in su:
-                        break
-                    v = int(rng.integers(0, self.num_items))
-                cands[x, j + 1] = v
+        draw = rng.integers(0, self.num_items, size=(m, num_negs),
+                            dtype=np.int64)
+        u_col = self.neg_users.astype(np.int64)[:, None]
+        for _ in range(10):  # bounded vectorized rejection
+            bad = interacted(np.broadcast_to(u_col, draw.shape), draw)
+            if not bad.any():
+                break
+            draw[bad] = rng.integers(0, self.num_items,
+                                     size=int(bad.sum()))
+        cands[:, 1:] = draw.astype(np.int32)
 
         user = np.repeat(self.neg_users, c).reshape(m, c).astype(np.int32)
         rating = np.zeros((m, c), np.float32)

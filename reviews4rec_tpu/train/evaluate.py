@@ -239,8 +239,15 @@ def split_eval_ks(hp: HyperParams) -> Tuple[Tuple[int, ...],
     reference 1+5 layout HR@10 saturates at 100 by construction."""
     if hp.eval_num_negs <= 0:
         return tuple(hp.eval_ks), ()
-    return (tuple(k for k in hp.eval_ks if k <= hp.num_negs),
-            tuple(k for k in hp.eval_ks if k > hp.num_negs))
+    wide = tuple(k for k in hp.eval_ks if k > hp.num_negs)
+    bad = [k for k in wide if hp.eval_num_negs < k]
+    if bad:
+        raise ValueError(
+            f"eval_num_negs={hp.eval_num_negs} gives 1+{hp.eval_num_negs}"
+            f"-candidate wide sets, on which HR@{bad[0]} saturates at 100 "
+            f"by construction — the degeneracy wide sets exist to fix; "
+            f"set eval_num_negs >= {max(bad)}")
+    return tuple(k for k in hp.eval_ks if k <= hp.num_negs), wide
 
 
 def eval_ranking(rank_step, params, neg_records, hp: HyperParams,

@@ -742,10 +742,11 @@ def train_complete(hp: HyperParams, model, dataset, *,
                                          dataset.item_count, mesh=mesh)
             metrics["examples_per_s"] = train_metrics["examples_per_s"]
             if stats is not None:
+                import statistics
                 eps_l = stats.setdefault("epoch_examples_per_s", [])
                 eps_l.append(train_metrics["examples_per_s"])
-                mid = sorted(eps_l)[len(eps_l) // 2]
-                stats["train_examples_per_s"] = mid
+                stats["train_examples_per_s"] = round(
+                    statistics.median(eps_l), 1)
             log_end_epoch(log, {k: v for k, v in metrics.items()
                                 if not (ranking and k == "MSE")},
                           epoch, time.time() - t0, quiet=quiet)
