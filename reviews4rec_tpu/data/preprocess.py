@@ -216,6 +216,15 @@ def _train_sgns_jax(centers_a: np.ndarray, contexts_a: np.ndarray,
     return np.array(vin, np.float32)  # writable copy
 
 
+def _center_table(vecs: np.ndarray) -> np.ndarray:
+    """Zero the UNK/pad row and remove the common mean from the rest
+    (see train_word2vec docstring)."""
+    vecs = vecs.astype(np.float32)
+    vecs[1:] -= vecs[1:].mean(axis=0, keepdims=True)
+    vecs[0] = 0.0
+    return vecs
+
+
 def train_word2vec(token_lists: Sequence[np.ndarray], num_words: int,
                    dim: int = 64, epochs: int = 20, window: int = 1,
                    negatives: int = 64, lr: float = 0.05,
@@ -228,7 +237,17 @@ def train_word2vec(token_lists: Sequence[np.ndarray], num_words: int,
     host loop, default for small corpora — deterministic across
     machines), "jax" (on-device lax.scan, the TPU path for real
     corpora), "auto" = jax once the pair count makes the host loop the
-    preprocessing bottleneck."""
+    preprocessing bottleneck.
+
+    The returned table is MEAN-CENTERED (rows 1:): SGNS with 64
+    negatives grows a large direction shared by every vector (the
+    negative-sampling background; on a zipfian corpus the raw vectors
+    reach pairwise cosine ~0.99, drowning the lexical signal the conv
+    towers consume in a ~6% residual). Removing the common mean is the
+    mean-only variant of all-but-the-top postprocessing (Mu &
+    Viswanath 2018) and restores the co-occurrence geometry the
+    downstream frozen-table models need — a deliberate deviation from
+    raw gensim output, which carries the same artifact more mildly."""
     rng = np.random.default_rng(seed)
     V = num_words + 1
     vec_in = (rng.random((V, dim), np.float32) - 0.5) / dim
@@ -267,9 +286,7 @@ def train_word2vec(token_lists: Sequence[np.ndarray], num_words: int,
                 centers.append(t[off:])
                 contexts.append(t[:-off])
     if not centers:
-        vecs = vec_in
-        vecs[0] = 0.0
-        return vecs
+        return _center_table(vec_in)
     centers_a = np.concatenate(centers)
     contexts_a = np.concatenate(contexts)
 
@@ -281,10 +298,9 @@ def train_word2vec(token_lists: Sequence[np.ndarray], num_words: int,
 
     n = len(centers_a)
     if backend == "jax" or (backend == "auto" and n >= 500_000):
-        vecs = _train_sgns_jax(centers_a, contexts_a, probs, vec_in,
-                               dim, epochs, negatives, lr, seed)
-        vecs[0] = 0.0
-        return vecs
+        return _center_table(
+            _train_sgns_jax(centers_a, contexts_a, probs, vec_in,
+                            dim, epochs, negatives, lr, seed))
 
     bs = int(np.clip(n // 64, 256, 4096))
     total_steps = max(epochs, 1) * (-(-n // bs))
@@ -317,9 +333,7 @@ def train_word2vec(token_lists: Sequence[np.ndarray], num_words: int,
             np.add.at(upd_o, tflat, go.reshape(-1, dim))
             co = np.bincount(tflat, minlength=V)[:, None]
             vec_out -= upd_o / np.maximum(co, 1)
-    vecs = vec_in.astype(np.float32)
-    vecs[0] = 0.0
-    return vecs
+    return _center_table(vec_in)
 
 
 # ----------------------------------------------------------------------
