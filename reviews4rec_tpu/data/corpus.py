@@ -84,7 +84,8 @@ class ReviewDataset:
               this_index: Dict[Tuple[int, int], Tuple[int, int]],
               test_reviews: Dict[Tuple[int, int], np.ndarray],
               neg_users: np.ndarray, neg_cands: np.ndarray,
-              word_vectors: np.ndarray) -> "ReviewDataset":
+              word_vectors: np.ndarray,
+              vocab: Optional[Dict[str, int]] = None) -> "ReviewDataset":
         self = cls.__new__(cls)
         self.num_users = int(num_users)
         self.num_items = int(num_items)
@@ -105,6 +106,9 @@ class ReviewDataset:
         self.neg_users = np.asarray(neg_users, np.int32)
         self.neg_cands = np.asarray(neg_cands, np.int32)
         self.word_vectors = np.asarray(word_vectors, np.float32)
+        # word -> id map for ids >= 1 (UNK words map to 0); persisted so
+        # NEW text can be tokenized at serving time (encode_text)
+        self.vocab = dict(vocab) if vocab else None
         tr = splits["train"]
         self.user_count = np.bincount(tr.user, minlength=num_users) \
             .astype(np.int64)
@@ -114,6 +118,21 @@ class ReviewDataset:
         self._flat_store = None
         self._ti_arrays = None
         return self
+
+    # ------------------------------------------------------------------
+    def encode_text(self, text: str) -> np.ndarray:
+        """Tokenize NEW review text against the persisted vocabulary
+        (serving surface): letters-only tokens, unknown words -> UNK 0.
+        Requires a corpus preprocessed with vocab persistence (any
+        corpus saved by this version; older .npz archives raise)."""
+        from .tokenizer import tokenize
+
+        if self.vocab is None:
+            raise ValueError(
+                "this corpus was saved without its vocabulary map; "
+                "re-run preprocessing to enable encode_text")
+        return np.asarray([self.vocab.get(w, 0) for w in tokenize(text)],
+                          np.int32)
 
     # ------------------------------------------------------------------
     def apply_to(self, hp):
@@ -815,6 +834,13 @@ class ReviewDataset:
                                if tv_toks else np.zeros(0, np.int32))
         arrays["tv_lens"] = np.asarray([len(t) for t in tv_toks], np.int64)
 
+        if self.vocab:
+            items = sorted(self.vocab.items(), key=lambda kv: kv[1])
+            arrays["vocab_words"] = np.asarray(
+                [w for w, j in items if j > 0])
+            arrays["vocab_ids"] = np.asarray(
+                [j for _, j in items if j > 0], np.int64)
+
         save_npz(os.path.join(path, "corpus.npz"), **arrays)
 
     @classmethod
@@ -863,10 +889,15 @@ class ReviewDataset:
                 a["tv_tokens"][toffs[j]:toffs[j + 1]].astype(np.int32)
             for j, k in enumerate(a["tv_keys"])}
 
+        vocab = None
+        if "vocab_words" in a:
+            vocab = {str(w): int(j) for w, j in
+                     zip(a["vocab_words"], a["vocab_ids"])}
+
         return cls.build(
             num_users=num_users, num_items=num_items, num_words=num_words,
             splits=splits, user_reviews=user_reviews,
             item_reviews=item_reviews, u_to_i=u_to_i, i_to_u=i_to_u,
             this_index=this_index, test_reviews=test_reviews,
             neg_users=a["neg_users"], neg_cands=a["neg_cands"],
-            word_vectors=a["word_vectors"])
+            word_vectors=a["word_vectors"], vocab=vocab)

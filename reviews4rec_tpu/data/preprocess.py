@@ -445,7 +445,8 @@ def preprocess(recs: Sequence[Dict], k_core: int = 5,
         item_reviews=item_reviews, u_to_i=u_to_i, i_to_u=i_to_u,
         this_index=this_index, test_reviews=test_reviews,
         neg_users=neg_users, neg_cands=neg_cands,
-        word_vectors=word_vectors)
+        word_vectors=word_vectors,
+        vocab={w: j for w, j in word_map.items() if j > 0})
 
 
 def main(argv: Optional[List[str]] = None) -> None:

@@ -230,3 +230,19 @@ def test_sgns_jax_backend_learns_signal():
     within = (sim[:k, :k].mean() + sim[k:, k:].mean()) / 2
     across = sim[:k, k:].mean()
     assert within > across + 0.1, (within, across)
+
+
+def test_vocab_persists_and_encodes_new_text(tmp_path):
+    """The word->id map survives save/load so serving can tokenize NEW
+    review text (encode_text); unknown words map to UNK 0."""
+    recs = _raw_corpus(num_users=40, num_items=25, per_user=10)
+    ds = preprocess(recs, k_core=3, w2v_epochs=1,
+                    verbose=lambda *_: None)
+    assert ds.vocab and all(j > 0 for j in ds.vocab.values())
+    path = str(tmp_path / "v")
+    ds.save(path)
+    ds2 = ReviewDataset.load(path)
+    assert ds2.vocab == ds.vocab
+    some_word = next(iter(ds.vocab))
+    ids = ds2.encode_text(f"{some_word} zzzzunknownzzzz {some_word.upper()}")
+    assert ids.tolist() == [ds.vocab[some_word], 0, ds.vocab[some_word]]
