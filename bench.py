@@ -624,8 +624,12 @@ def main():
         f"interleaved; treat cross-config deltas below this as noise)")
     log(f"flagship ({flag_key}) MFU estimate: {mfu}% of "
         f"{PEAK_BF16_FLOPS/1e12:.0f} TFLOP/s peak; modeled HBM traffic "
-        f"{gbps} GB/s vs ~820 GB/s v5e peak (the op is bandwidth-bound: "
-        f"the roofline, not the MXU, is the binding constraint)")
+        f"{gbps} GB/s vs ~820 GB/s v5e peak. Attribution "
+        f"(examples/ROOFLINE.md): the cached-row gather runs AT the HBM "
+        f"roofline; the binding constraint is the paired kernel's "
+        f"padded MXU matmul (~1.7x FLOP overhead buys the 9x-faster "
+        f"DMA layout), so the MFU number counts MINIMAL conv FLOPs "
+        f"while the kernel executes ~1.7x that")
     if rows.get("deepconn") and rows.get("deepconn+pallas"):
         log(f"pallas speedup over XLA: "
             f"{rows['deepconn+pallas']/rows['deepconn']:.2f}x")

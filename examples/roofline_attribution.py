@@ -18,7 +18,8 @@ Components:
   step          full cached train step (adds Adam + weight decay)
   scan10        the production scan-over-microbatches step, per update
 
-Writes examples/ROOFLINE.md with the table and the conclusion.
+Writes examples/ROOFLINE_LAST_RUN.md with the raw table; the curated
+analysis (with the MXU-vs-HBM conclusion) lives in examples/ROOFLINE.md.
 
 Run (on the real chip): python examples/roofline_attribution.py
 """
@@ -93,17 +94,27 @@ def main():
                         train=False)["params"]
     apply_fn = make_apply_fn(model)
     opt = make_optimizer(hp)
-    state0 = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
-    # ---- component functions (all take (carry, i) -> carry, scalar) ----
-    def gathered(rows):
+    def fresh_state():
+        # deep copy: the jitted steps DONATE their TrainState arg, and
+        # sharing `params` would delete the buffers the pure component
+        # fns keep using between interleaved measurement rounds
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        return TrainState(p, opt.init(p), jnp.zeros((), jnp.int32))
+
+    # ---- component functions; the cache is an ARGUMENT everywhere
+    # (a closure would bake it into the HLO as constants — over the
+    # tunnel that upload exceeds the compile-request size limit) ----
+    def gathered(cache, rows):
         return {k: jnp.take(v, rows, axis=0) for k, v in cache.items()}
 
     @jax.jit
-    def f_gather(rows):
-        b = gathered(rows)
-        return (jnp.sum(b["user_doc"][:, 0, :].astype(jnp.float32))
-                + jnp.sum(b["item_doc"][:, 0, :].astype(jnp.float32)))
+    def f_gather(cache, rows):
+        # sum over the FULL gathered arrays: slicing would let XLA
+        # narrow the gather to the touched rows and measure nothing
+        b = gathered(cache, rows)
+        return (jnp.sum(b["user_doc"].astype(jnp.float32))
+                + jnp.sum(b["item_doc"].astype(jnp.float32)))
 
     from reviews4rec_tpu.ops.textcnn_pallas import textcnn_pool_paired
 
@@ -124,31 +135,32 @@ def main():
     have_conv = {"conv_kernel", "conv_bias"} <= names
 
     @jax.jit
-    def f_conv_fwd(p, rows):
-        return conv_both(p, gathered(rows))
+    def f_conv_fwd(p, cache, rows):
+        return conv_both(p, gathered(cache, rows))
 
     @jax.jit
-    def f_conv_fwd_bwd(p, rows):
-        v, g = jax.value_and_grad(lambda pp: conv_both(pp, gathered(rows)))(p)
+    def f_conv_fwd_bwd(p, cache, rows):
+        v, g = jax.value_and_grad(
+            lambda pp: conv_both(pp, gathered(cache, rows)))(p)
         return v + jnp.sum(g["user_conv"]["conv_kernel"])
 
     @jax.jit
-    def f_fwd(p, rows, weight):
-        b = gathered(rows)
+    def f_fwd(p, cache, rows, weight):
+        b = gathered(cache, rows)
         b["weight"] = weight
         preds = apply_fn(p, b, False, jax.random.PRNGKey(0))
         return jnp.sum(preds)
 
-    def loss_fn(p, rows, weight, key):
-        b = gathered(rows)
+    def loss_fn(p, cache, rows, weight, key):
+        b = gathered(cache, rows)
         b["weight"] = weight
         preds = apply_fn(p, b, True, key)
         sq = (preds - b["rating"]) ** 2
         return jnp.sum(sq * weight) / jnp.maximum(jnp.sum(weight), 1.0)
 
     @jax.jit
-    def f_fwd_bwd(p, rows, weight, key):
-        v, g = jax.value_and_grad(loss_fn)(p, rows, weight, key)
+    def f_fwd_bwd(p, cache, rows, weight, key):
+        v, g = jax.value_and_grad(loss_fn)(p, cache, rows, weight, key)
         return v + jnp.sum(g["fm"]["V"])
 
     step1 = make_cached_train_step(apply_fn, opt, hp.model_type)
@@ -186,18 +198,18 @@ def main():
         return run
 
     runs = {
-        "gather": timer_pure(f_gather, rows),
-        "fwd": timer_pure(f_fwd, params, rows, weight),
-        "fwd_bwd": timer_pure(f_fwd_bwd, params, rows, weight, rng),
+        "gather": timer_pure(f_gather, cache, rows),
+        "fwd": timer_pure(f_fwd, params, cache, rows, weight),
+        "fwd_bwd": timer_pure(f_fwd_bwd, params, cache, rows, weight,
+                              rng),
     }
     if have_conv:
-        runs["conv_fwd"] = timer_pure(f_conv_fwd, params, rows)
-        runs["conv_fwd_bwd"] = timer_pure(f_conv_fwd_bwd, params, rows)
-    runs["step"] = timer_step(step1, state0, rows, weight, rng)
-    runs["scan10"] = timer_step(
-        step10,
-        TrainState(params, opt.init(params), jnp.zeros((), jnp.int32)),
-        rows10, w10, jax.random.split(rng, 10))
+        runs["conv_fwd"] = timer_pure(f_conv_fwd, params, cache, rows)
+        runs["conv_fwd_bwd"] = timer_pure(f_conv_fwd_bwd, params, cache,
+                                          rows)
+    runs["step"] = timer_step(step1, fresh_state(), rows, weight, rng)
+    runs["scan10"] = timer_step(step10, fresh_state(), rows10, w10,
+                                jax.random.split(rng, 10))
 
     results = {}
     for name, run in runs.items():
@@ -216,7 +228,7 @@ def main():
         gbps = 2 * side_bytes / max(t_fwd, 1e-9) / 1e9
         notes.append(f"conv fwd kernels alone stream ~{gbps:.0f} GB/s "
                      f"of operand reads")
-    md = os.path.join(REPO, "examples", "ROOFLINE.md")
+    md = os.path.join(REPO, "examples", "ROOFLINE_LAST_RUN.md")
     with open(md, "w") as f:
         f.write("# Flagship step attribution (cached+scan deepconn, "
                 "B=256, T=1000, v5e)\n\n")
