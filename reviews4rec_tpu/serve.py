@@ -231,23 +231,29 @@ class FactorizedRecommender:
     into per-user and per-item terms: full-catalog scoring becomes one
     [U, C] matmul on the MXU instead of U x C joint forward passes.
 
-    Supported heads (score(u, i) = us(u) + is(i) + a(u).b(i)):
-    - bias_only / MF_dot: trivially (biases + embedding dot)
+    Supported models:
+    - bias_only / MF_dot: score = us(u) + is(i) (+ u.i) trivially
     - deepconn (FM head): Rendle's FM over cat(u_feat, i_feat) splits as
         0.5*sum[(au+bi)^2 - cu - di] = su + si + au.bi
       with au = u V_u, bi = i V_i, cu = u^2 V_u^2, di = i^2 V_i^2,
       su/si their per-side halves — ALGEBRAICALLY identical to the
       pairwise FM (floating-point reassociation only; verified vs the
       grid Recommender at 1e-4).
+    - deepconn++ (MLP head + id biases): the TOWERS are per-side, so
+      item features [C, L] are precomputed at index build and only the
+      tiny pairwise ScorerMLP head runs per query over the broadcast
+      [U, C, 2L] features (~100 MFLOP at catalog 10k) — exact, since
+      the head consumes nothing but tower outputs and id biases.
 
     The catalog's item tower runs ONCE at construction (`item_chunk`
     docs at a time); `topk` then encodes only the query users and
-    scores the whole catalog with one matmul per score-chunk — the
-    serving design the pairwise grid path cannot reach. Non-factorizing
-    heads (deepconn++'s MLP, transnet, MPCN, NARRE's hadamard-MLP)
-    raise; use `Recommender`."""
+    scores the whole catalog with one matmul (or one feature-level MLP
+    head) per score-chunk — the serving design the pairwise grid path
+    cannot reach. Intrinsically pairwise models (MPCN's co-attention,
+    transnet's joint transform over both docs) raise; use
+    `Recommender`."""
 
-    SUPPORTED = ("bias_only", "MF_dot", "deepconn")
+    SUPPORTED = ("bias_only", "MF_dot", "deepconn", "deepconn++")
 
     def __init__(self, hp: HyperParams, dataset: ReviewDataset,
                  params=None, model=None, item_chunk: int = 1024,
@@ -268,13 +274,14 @@ class FactorizedRecommender:
             items = np.arange(dataset.num_items, dtype=np.int32)
         self.items = np.asarray(items, np.int32)
 
-        if hp.model_type == "deepconn":
+        if hp.model_type in ("deepconn", "deepconn++"):
             self._build_deepconn(hp, dataset, params, item_chunk)
         else:
             self._build_mf(hp, params)
-        self._score_chunk = jax.jit(
-            lambda uv, us, iv, isc: us[:, None] + isc[None, :]
-            + (uv @ iv.T if uv is not None else 0.0))
+        if getattr(self, "_score_chunk", None) is None:
+            self._score_chunk = jax.jit(
+                lambda uv, us, iv, isc: us[:, None] + isc[None, :]
+                + (uv @ iv.T if uv is not None else 0.0))
 
     # ---- index builders ------------------------------------------------
     def _build_mf(self, hp: HyperParams, params):
@@ -297,33 +304,69 @@ class FactorizedRecommender:
 
     def _build_deepconn(self, hp: HyperParams, dataset, params,
                         item_chunk: int):
-        from .models.layers import TextCNN
+        from .models.layers import ScorerMLP, TextCNN
 
         L = hp.latent_size
         wv = jnp.asarray(params["word_vectors"])
-        v = jnp.asarray(params["fm"]["V"])            # [2L, k]
-        w = jnp.asarray(params["fm"]["lin"]["kernel"])[:, 0]
-        b = float(np.asarray(params["fm"]["lin"]["bias"])[0])
         gb = float(np.asarray(params["global_bias"])[0])
-        vu, vi = v[:L], v[L:]
-        wu, wi = w[:L], w[L:]
         cnn = TextCNN(hp.latent_size, hp.dropout)
+        plus = hp.model_type == "deepconn++"
+
+        if plus:
+            ub = jnp.asarray(params["user_bias"])
+            ib = jnp.asarray(params["item_bias"])
+            head = ScorerMLP(hp.latent_size, hp.dropout)
+            head_params = params["final"]
+
+            @jax.jit
+            def item_enc(docs, ids):
+                f = cnn.apply({"params": params["item_conv"]}, docs,
+                              train=False, table=wv)
+                return f, jnp.take(ib, ids, axis=0) + gb
+
+            # pairwise MLP head over broadcast per-side features: the
+            # towers (all the FLOPs) never rerun per pair
+            @jax.jit
+            def score_chunk(uv, us, iv, isc):
+                u_, c_ = uv.shape[0], iv.shape[0]
+                cat = jnp.concatenate(
+                    [jnp.broadcast_to(uv[:, None, :], (u_, c_, L)),
+                     jnp.broadcast_to(iv[None, :, :], (u_, c_, L))],
+                    axis=-1)
+                mlp = head.apply({"params": head_params}, cat,
+                                 train=False)
+                return mlp + us[:, None] + isc[None, :]
+
+            self._score_chunk = score_chunk
+
+            def finish_user(f, users):
+                return f, jnp.take(ub, jnp.asarray(users), axis=0)
+        else:
+            v = jnp.asarray(params["fm"]["V"])            # [2L, k]
+            w = jnp.asarray(params["fm"]["lin"]["kernel"])[:, 0]
+            b = float(np.asarray(params["fm"]["lin"]["bias"])[0])
+            vu, vi = v[:L], v[L:]
+            wu, wi = w[:L], w[L:]
+
+            @jax.jit
+            def item_enc(docs, ids):
+                f = cnn.apply({"params": params["item_conv"]}, docs,
+                              train=False, table=wv)
+                bi = f @ vi
+                si = 0.5 * jnp.sum(bi * bi - (f * f) @ (vi * vi),
+                                   axis=-1)
+                return bi, si + f @ wi + b + gb
+
+            def finish_user(f, users):
+                au = f @ vu
+                su = 0.5 * jnp.sum(au * au - (f * f) @ (vu * vu),
+                                   axis=-1)
+                return au, su + f @ wu
 
         @jax.jit
-        def item_enc(docs):
-            f = cnn.apply({"params": params["item_conv"]}, docs,
-                          train=False, table=wv)
-            bi = f @ vi
-            si = 0.5 * jnp.sum(bi * bi - (f * f) @ (vi * vi), axis=-1)
-            return bi, si + f @ wi + b + gb
-
-        @jax.jit
-        def user_enc_feats(docs):
-            f = cnn.apply({"params": params["user_conv"]}, docs,
-                          train=False, table=wv)
-            au = f @ vu
-            su = 0.5 * jnp.sum(au * au - (f * f) @ (vu * vu), axis=-1)
-            return au, su + f @ wu
+        def user_tower(docs):
+            return cnn.apply({"params": params["user_conv"]}, docs,
+                             train=False, table=wv)
 
         vecs, scals = [], []
         for s in range(0, len(self.items), item_chunk):
@@ -331,7 +374,7 @@ class FactorizedRecommender:
             recs = dataset.candidate_grid_records(
                 hp, np.zeros(1, np.int32), chunk)
             docs = jnp.asarray(recs["item_doc"][0])   # [C, T]
-            bi, isc = item_enc(docs)
+            bi, isc = item_enc(docs, jnp.asarray(chunk))
             vecs.append(bi)
             scals.append(isc)
         self.item_vec = jnp.concatenate(vecs)
@@ -341,7 +384,7 @@ class FactorizedRecommender:
             recs = dataset.candidate_grid_records(
                 hp, np.asarray(users, np.int32), np.zeros(1, np.int32))
             docs = jnp.asarray(recs["user_doc"][:, 0])  # [U, T]
-            return user_enc_feats(docs)
+            return finish_user(user_tower(docs), users)
 
         self._user_enc = user_enc
 

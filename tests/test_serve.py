@@ -144,5 +144,24 @@ def test_factorized_rejects_nonfactorizable(dataset, hp_base):
     from reviews4rec_tpu.serve import FactorizedRecommender
 
     with pytest.raises(ValueError, match="factorization"):
-        FactorizedRecommender(hp_base.replace(model_type="deepconn++"),
+        FactorizedRecommender(hp_base.replace(model_type="MPCN"),
                               dataset)
+
+
+def test_factorized_matches_grid_deepconnpp(tmp_path, dataset, hp_base):
+    """deepconn++ (MLP head + id biases): item tower features are
+    precomputed at index build; only the pairwise ScorerMLP head runs
+    per query — must reproduce the grid path's top-k exactly."""
+    from reviews4rec_tpu.api import run
+    from reviews4rec_tpu.serve import FactorizedRecommender, Recommender
+
+    hp = hp_base.replace(model_type="deepconn++", epochs=1,
+                         model_dir=str(tmp_path / "m"),
+                         log_dir=str(tmp_path / "l"))
+    run(hp, dataset)
+    users = np.array([0, 2, 6])
+    gi, gs = Recommender(hp, dataset, item_chunk=16).topk(users, k=5)
+    fi, fs = FactorizedRecommender(hp, dataset, item_chunk=16).topk(
+        users, k=5)
+    assert np.allclose(gs, fs, atol=1e-4)
+    assert np.array_equal(gi, fi)
