@@ -163,6 +163,7 @@ def oracle_bounds(dump_path: str, seed: int = 1):
         m = re.search(r"\blv([a-z])s", txt)
         lv[x] = (ord(m.group(1)) - 97 + 1) if m else 3
     t = np.array([topic_of.get(ii, 0) for ii in i])
+    T = int(t.max()) + 1          # derived, not assumed (n_topics)
     n = len(y)
     perm = rng.permutation(n)
     tr, te = perm[:int(0.8 * n)], perm[int(0.8 * n):]
@@ -175,7 +176,7 @@ def oracle_bounds(dump_path: str, seed: int = 1):
         np.add.at(c, keys, 1)
         return s / (c + lam)
 
-    U, T = u.max() + 1, 12
+    U = u.max() + 1
     bu = shrunk(u[tr], y[tr] - mu, U)
     bi = shrunk(i[tr], y[tr] - mu - bu[u[tr]], i.max() + 1)
     pred_b = mu + bu[u[te]] + bi[i[te]]

@@ -225,9 +225,14 @@ def main():
     notes = []
     if "conv_fwd" in results:
         t_fwd = results["conv_fwd"][0] - results["gather"][0]
-        gbps = 2 * side_bytes / max(t_fwd, 1e-9) / 1e9
-        notes.append(f"conv fwd kernels alone stream ~{gbps:.0f} GB/s "
-                     f"of operand reads")
+        if t_fwd > 0:
+            gbps = 2 * side_bytes / t_fwd / 1e9
+            notes.append(f"conv fwd kernels alone stream ~{gbps:.0f} "
+                         f"GB/s of operand reads")
+        else:
+            notes.append("conv_fwd - gather differencing came out "
+                         "non-positive this session (tunnel noise); "
+                         "kernel-only bandwidth not reportable")
     md = os.path.join(REPO, "examples", "ROOFLINE_LAST_RUN.md")
     with open(md, "w") as f:
         f.write("# Flagship step attribution (cached+scan deepconn, "

@@ -108,7 +108,7 @@ class ReviewDataset:
         self.word_vectors = np.asarray(word_vectors, np.float32)
         # word -> id map for ids >= 1 (UNK words map to 0); persisted so
         # NEW text can be tokenized at serving time (encode_text)
-        self.vocab = dict(vocab) if vocab else None
+        self.vocab = dict(vocab) if vocab is not None else None
         tr = splits["train"]
         self.user_count = np.bincount(tr.user, minlength=num_users) \
             .astype(np.int64)
@@ -834,10 +834,10 @@ class ReviewDataset:
                                if tv_toks else np.zeros(0, np.int32))
         arrays["tv_lens"] = np.asarray([len(t) for t in tv_toks], np.int64)
 
-        if self.vocab:
+        if self.vocab is not None:
             items = sorted(self.vocab.items(), key=lambda kv: kv[1])
             arrays["vocab_words"] = np.asarray(
-                [w for w, j in items if j > 0])
+                [w for w, j in items if j > 0], dtype=str)
             arrays["vocab_ids"] = np.asarray(
                 [j for _, j in items if j > 0], np.int64)
 

@@ -304,7 +304,7 @@ class FactorizedRecommender:
 
     def _build_deepconn(self, hp: HyperParams, dataset, params,
                         item_chunk: int):
-        from .models.layers import ScorerMLP, TextCNN
+        from .models.layers import TextCNN
 
         L = hp.latent_size
         wv = jnp.asarray(params["word_vectors"])
@@ -315,32 +315,31 @@ class FactorizedRecommender:
         if plus:
             ub = jnp.asarray(params["user_bias"])
             ib = jnp.asarray(params["item_bias"])
-            head = ScorerMLP(hp.latent_size, hp.dropout)
-            head_params = params["final"]
+            w0 = jnp.asarray(params["final"]["fc0"]["kernel"])  # [2L, H]
+            b0 = jnp.asarray(params["final"]["fc0"]["bias"])
+            w1 = jnp.asarray(params["final"]["fc1"]["kernel"])[:, 0]
+            b1 = float(np.asarray(params["final"]["fc1"]["bias"])[0])
 
+            # split the head's first Dense per side: cat @ W0 =
+            # u_feat @ W0[:L] + i_feat @ W0[L:], so the stored index
+            # carries the PRE-ACTIVATION item half [C, H] and the
+            # per-pair work is relu(add) @ w1 — no [U, C, 2L] concat
             @jax.jit
             def item_enc(docs, ids):
                 f = cnn.apply({"params": params["item_conv"]}, docs,
                               train=False, table=wv)
-                return f, jnp.take(ib, ids, axis=0) + gb
+                return f @ w0[L:] + b0, jnp.take(ib, ids, axis=0) + gb
 
-            # pairwise MLP head over broadcast per-side features: the
-            # towers (all the FLOPs) never rerun per pair
             @jax.jit
             def score_chunk(uv, us, iv, isc):
-                u_, c_ = uv.shape[0], iv.shape[0]
-                cat = jnp.concatenate(
-                    [jnp.broadcast_to(uv[:, None, :], (u_, c_, L)),
-                     jnp.broadcast_to(iv[None, :, :], (u_, c_, L))],
-                    axis=-1)
-                mlp = head.apply({"params": head_params}, cat,
-                                 train=False)
-                return mlp + us[:, None] + isc[None, :]
+                hidden = jax.nn.relu(uv[:, None, :] + iv[None, :, :])
+                return hidden @ w1 + b1 + us[:, None] + isc[None, :]
 
             self._score_chunk = score_chunk
 
             def finish_user(f, users):
-                return f, jnp.take(ub, jnp.asarray(users), axis=0)
+                return f @ w0[:L], jnp.take(ub, jnp.asarray(users),
+                                            axis=0)
         else:
             v = jnp.asarray(params["fm"]["V"])            # [2L, k]
             w = jnp.asarray(params["fm"]["lin"]["kernel"])[:, 0]
@@ -390,17 +389,27 @@ class FactorizedRecommender:
 
     # ---- queries -------------------------------------------------------
     def topk(self, users: np.ndarray, k: int = 10,
-             exclude_seen: bool = True
+             exclude_seen: bool = True, score_items: int = 16384
              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Scores the catalog in `score_items`-wide feature chunks with
+        the on-device running top-k merge, so peak memory is one
+        [U, score_items(, H)] block regardless of catalog size."""
         users = np.asarray(users, np.int32)
         k = min(k, len(self.items))
         uv, us = self._user_enc(users)
-        scores = np.asarray(self._score_chunk(uv, us, self.item_vec,
-                                              self.item_scal))
-        if exclude_seen:
-            mask = self.dataset.train_pair_mask(users[:, None],
-                                                self.items[None])
-            scores = np.where(mask, -np.inf, scores)
-        idx = np.argsort(-scores, axis=1)[:, :k]
-        return (self.items[idx],
-                np.take_along_axis(scores, idx, axis=1))
+        top_s = jnp.full((len(users), k), -jnp.inf)
+        top_i = jnp.full((len(users), k), -1, jnp.int32)
+        for start in range(0, len(self.items), score_items):
+            end = min(start + score_items, len(self.items))
+            chunk_ids = self.items[start:end]
+            iv = (self.item_vec[start:end]
+                  if self.item_vec is not None else None)
+            scores = self._score_chunk(uv, us, iv,
+                                       self.item_scal[start:end])
+            if exclude_seen:
+                mask = self.dataset.train_pair_mask(users[:, None],
+                                                    chunk_ids[None])
+                scores = jnp.where(jnp.asarray(mask), -jnp.inf, scores)
+            top_s, top_i = _merge_topk(top_s, top_i, scores,
+                                       jnp.asarray(chunk_ids), k)
+        return np.asarray(top_i), np.asarray(top_s)
