@@ -165,3 +165,17 @@ def test_factorized_matches_grid_deepconnpp(tmp_path, dataset, hp_base):
         users, k=5)
     assert np.allclose(gs, fs, atol=1e-4)
     assert np.array_equal(gi, fi)
+
+
+def test_factorized_score_chunking_invariant(trained, dataset):
+    """topk over score_items-wide chunks (running top-k merge) equals
+    single-chunk scoring."""
+    from reviews4rec_tpu.serve import FactorizedRecommender
+
+    hp, _ = trained
+    rec = FactorizedRecommender(hp, dataset)
+    users = np.array([1, 5, 9])
+    i1, s1 = rec.topk(users, k=6)                    # one chunk
+    i2, s2 = rec.topk(users, k=6, score_items=7)     # 5 chunks
+    assert np.array_equal(i1, i2)
+    assert np.allclose(s1, s2)
