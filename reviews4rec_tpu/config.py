@@ -189,13 +189,17 @@ class HyperParams:
     # 20k-example splits do). Composes with the mesh: the cache is
     # row-sharded over the data axis (parallel.mesh.shard_cache).
     cache_doc_embeds: bool = False
-    # Which doc sides the cache PRE-EMBEDS ("both" | "item" | "user"):
-    # a split too large to cache both [N, T, E] sides (see the budget
-    # above) can cache one side as floats while the other stays raw
-    # int ids on device (the models embed int docs through the frozen
-    # table in-jit, so the result is bitwise-identical either way) —
-    # halving cache HBM for ~half the gather saving. "item" also covers
-    # transnet's this_doc (the held-out review is item-side data).
+    # Which doc sides the cache PRE-EMBEDS
+    # ("both" | "item" | "user" | "ids"): a split too large to cache
+    # both [N, T, E] sides (see the budget above) can cache one side as
+    # floats while the other stays raw int ids on device (the models
+    # embed int docs through the frozen table in-jit, so the result is
+    # bitwise-identical either way) — halving cache HBM for ~half the
+    # gather saving. "item" also covers transnet's this_doc (the
+    # held-out review is item-side data). "ids" caches EVERY side as
+    # raw int32 ids (~4 bytes/word, ~0.6 GB for a 100k-interaction
+    # corpus vs ~20 GB float): no per-step host transfer for any
+    # review model at the cost of an in-jit word gather per step.
     cache_sides: str = "both"
     # shard the review-doc time axis of every TextCNN over the model
     # axis (ppermute halo exchange, parallel/sequence.py) — the scaling

@@ -211,16 +211,23 @@ def doc_cache_keys(model_type: str, sides: str = "both"
     it would carry an unused [T, E]/[R, W, E] float array per example.
     `sides` (hp.cache_sides) restricts pre-embedding to one doc side
     for splits whose full float cache exceeds HBM; `this_doc` (the
-    held-out review) counts as item-side."""
+    held-out review) counts as item-side. "ids" pre-embeds NOTHING:
+    every doc side stays raw int32 on device (~4 bytes/word — the
+    whole split's docs fit HBM at any realistic scale), so the train
+    step still consumes only [B] row indices from the host while the
+    models embed in-jit; this is the reference's own "kill host work"
+    tier (data_fast.py:24-119) at its cheapest memory point."""
     read = (DOC_KEYS if model_type in ("transnet", "transnet++")
             else ("user_doc", "item_doc"))
     side_of = {"user_doc": "user", "item_doc": "item", "this_doc": "item"}
     if sides == "both":
         embed = read
+    elif sides == "ids":
+        embed = ()
     elif sides in ("item", "user"):
         embed = tuple(k for k in read if side_of[k] == sides)
     else:
-        raise ValueError(f"cache_sides must be both|item|user, "
+        raise ValueError(f"cache_sides must be both|item|user|ids, "
                          f"got {sides!r}")
     return embed, tuple(k for k in read if k not in embed)
 

@@ -111,6 +111,43 @@ def test_cached_sides_item_bitwise(dataset, hp_base):
     _assert_bitwise(p1, p2)
 
 
+def test_cached_sides_ids_bitwise(dataset, hp_base):
+    """Ids-only cache (cache_sides='ids'): every doc side stays raw
+    int32 on device (~4 bytes/word), the models embed in-jit — still
+    bitwise-identical to the uncached run, with and without Pallas."""
+    hp = hp_base.replace(model_type="deepconn", epochs=1, batch_size=16,
+                         shuffle_data_every_epoch=True)
+    p1, m1 = _train(dataset, hp)
+    p2, m2 = _train(dataset, hp.replace(cache_doc_embeds=True,
+                                        cache_sides="ids"))
+    assert m1 == m2
+    _assert_bitwise(p1, p2)
+
+    hpp = hp.replace(use_pallas=True)
+    p3, m3 = _train(dataset, hpp)
+    p4, m4 = _train(dataset, hpp.replace(cache_doc_embeds=True,
+                                         cache_sides="ids"))
+    assert m3 == m4
+    _assert_bitwise(p3, p4)
+
+
+def test_doc_cache_ids_keys(dataset, hp_base):
+    from reviews4rec_tpu.train.loop import build_doc_cache, doc_cache_keys
+
+    ck, idk = doc_cache_keys("deepconn", "ids")
+    assert ck == () and set(idk) == {"user_doc", "item_doc"}
+    ck, idk = doc_cache_keys("transnet", "ids")
+    assert ck == () and set(idk) == {"user_doc", "item_doc", "this_doc"}
+
+    hp = hp_base.replace(model_type="deepconn")
+    recs = dataset.materialize(hp, "train")
+    ck, idk = doc_cache_keys("deepconn", "ids")
+    cache = build_doc_cache(recs, dataset.word_vectors, "float32",
+                            keys=ck, id_keys=idk)
+    assert cache["user_doc"].dtype == np.int32
+    assert cache["item_doc"].dtype == np.int32
+
+
 def test_cached_scan_parity(dataset, hp_base):
     """cache + scan_steps: scanned cached groups plus the per-batch
     trailing group reproduce the plain path exactly."""
