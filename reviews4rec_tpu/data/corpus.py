@@ -741,24 +741,36 @@ class ReviewDataset:
         tr = self.splits["train"]
         rng = np.random.default_rng(seed)
         n, k = len(sp), hp.num_negs
-        pos: List[set] = [set() for _ in range(self.num_users)]
-        for u, i in zip(tr.user, tr.item):
-            pos[int(u)].add(int(i))
+        # sorted-key membership in the user's TRAIN items (the
+        # `materialize_wide_negs` primitive) — no per-user Python sets,
+        # no per-candidate loops (VERDICT r4 #5: the triple loop was the
+        # slowest remaining host pass at 100k-row x grid scale)
+        tr_keys = np.unique(tr.user.astype(np.int64) * self.num_items
+                            + tr.item.astype(np.int64))
+
+        def in_train(users_2d, items_2d):
+            q = (users_2d.astype(np.int64) * self.num_items
+                 + items_2d.astype(np.int64))
+            if len(tr_keys) == 0:
+                return np.zeros(q.shape, bool)
+            pos = np.minimum(np.searchsorted(tr_keys, q),
+                             len(tr_keys) - 1)
+            return tr_keys[pos] == q
 
         cands = np.empty((n, k + 1), np.int32)
         cands[:, 0] = sp.item
-        draw = rng.integers(0, self.num_items, size=(n, k))
-        for x in range(n):
-            seen = pos[int(sp.user[x])]
-            for j in range(k):
-                v = int(draw[x, j])
-                # bounded rejection: a user who rated the whole catalog
-                # just keeps the collision (harmless, vanishing case)
-                for _ in range(10):
-                    if v not in seen:
-                        break
-                    v = int(rng.integers(0, self.num_items))
-                cands[x, j + 1] = v
+        draw = rng.integers(0, self.num_items, size=(n, k),
+                            dtype=np.int64)
+        u_col = sp.user.astype(np.int64)[:, None]
+        for _ in range(10):  # bounded vectorized rejection: a user who
+            # rated the whole catalog just keeps the collision
+            # (harmless, vanishing case)
+            bad = in_train(np.broadcast_to(u_col, draw.shape), draw)
+            if not bad.any():
+                break
+            draw[bad] = rng.integers(0, self.num_items,
+                                     size=int(bad.sum()))
+        cands[:, 1:] = draw.astype(np.int32)
 
         user = np.repeat(sp.user, k + 1).reshape(n, k + 1).astype(np.int32)
         rating = np.zeros((n, k + 1), np.float32)
