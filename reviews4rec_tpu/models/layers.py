@@ -84,24 +84,41 @@ class TextCNN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 table: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 table: Optional[jnp.ndarray] = None,
+                 skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         # x: [B, T, E] embedded words, or int [B, T] token ids plus a
         # `table` [V, E] to embed with (the fused-gather path). A FLOAT
         # x alongside a table is a pre-embedded doc from the device
         # cache (hp.cache_doc_embeds): the gather is skipped and, since
         # the rows came from the frozen table, the input cotangent is
         # dead exactly as in the in-step-gather case.
+        #
+        # `skip` ([B, 2] int32 (start, len) or None) zeros that word
+        # span of each doc — the entity-cache leakage MASK
+        # (hp.cache_entity): canonical per-entity docs with the train
+        # pair's own review zeroed in place. Applied in-kernel on the
+        # prepaired Pallas path, at value level elsewhere (XLA fuses
+        # the select into the adjacent relayout/conv).
         w = self.window
         pre_embedded = (table is not None
                         and jnp.issubdtype(x.dtype, jnp.floating))
         prepaired = (pre_embedded and self.prepaired_t > 0
                      and self.use_pallas and self.seq_mesh is None)
         frozen_input = table is not None
+        # the fused-gather kernel has no mask input: with a skip span,
+        # embed via take() and mask at value level instead
         fused = (frozen_input and not pre_embedded and self.use_pallas
-                 and self.fuse_gather and self.seq_mesh is None)
+                 and self.fuse_gather and self.seq_mesh is None
+                 and skip is None)
         if frozen_input and not fused and not pre_embedded:
             x = jnp.take(table, x, axis=0)
         b, t = x.shape[:2]
+        if skip is not None and not prepaired:
+            ts = jnp.arange(x.shape[1])[None, :]
+            st = skip[:, :1].astype(jnp.int32)
+            ln = skip[:, 1:2].astype(jnp.int32)
+            x = jnp.where(((ts >= st) & (ts < st + ln))[..., None],
+                          jnp.zeros((), x.dtype), x)
         e = (table.shape[1] if fused else
              x.shape[2] // 2 if prepaired else x.shape[2])
         kernel = self.param("conv_kernel", xavier_uniform(),
@@ -113,7 +130,8 @@ class TextCNN(nn.Module):
             dot_dtype = jnp.float32 if self.pallas_interpret \
                 else jnp.bfloat16
             y = textcnn_pool_paired(x, kernel, bias, self.prepaired_t, w,
-                                    self.pallas_interpret, dot_dtype)
+                                    self.pallas_interpret, dot_dtype,
+                                    skip)
         elif fused:
             from ..ops.textcnn_pallas import textcnn_pool_embed
             dot_dtype = jnp.float32 if self.pallas_interpret \

@@ -132,13 +132,44 @@ def _build_g(kernel: jnp.ndarray, window: int, e: int,
     return g.reshape(4 * e, 2 * f_pad)
 
 
-def _paired_kernel(x_ref, g_ref, b_ref, out_ref, idx_ref,
+def _input_mask(x, skip_ref, c, tp, halo):
+    """Zero the word span [start, start+len) of each example's doc in a
+    paired-layout block (the entity-cache leakage mask, hp.cache_entity):
+    skip_ref is [bt, 2] (start, len) word indices; block element (j,
+    lane) holds padded timestep 2*(c*tp + j) + (lane >= E), i.e. word
+    index that minus halo. A len of 0 masks nothing."""
+    bt, tp_b, lanes = x.shape
+    e = lanes // 2
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (bt, tp_b, lanes), 1)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (bt, tp_b, lanes), 2)
+    ts = 2 * (c * tp + rows_i) + (lane_i >= e).astype(jnp.int32) - halo
+    sk = skip_ref[:]
+    st = sk[:, 0].reshape(bt, 1, 1)
+    ln = sk[:, 1].reshape(bt, 1, 1)
+    return jnp.where((ts >= st) & (ts < st + ln),
+                     jnp.zeros((), x.dtype), x)
+
+
+def _paired_kernel(x_ref, g_ref, b_ref, skip_ref, out_ref, idx_ref,
                    carry_ref, zw_ref, acc_ref, iacc_ref, *,
-                   t_out: int, tp: int, dot_dtype):
+                   t_out: int, tp: int, dot_dtype, masked: bool,
+                   halo: int):
     """Grid: (batch_tiles, pair_chunks), pairs minor. Each step consumes
     a [bt, tp, 128] block of pair-rows; window starts covered are
     t = 2*(c*tp - 1 + j) + phase for j in [0, tp) (the -1 is the carry
-    row from the previous block)."""
+    row from the previous block).
+
+    Why ONE scattered-G dot and not two per-phase [bt*tp, W*E] x
+    [W*E, F] dots against the plain kernel matrix (which would skip the
+    ~25% structurally-zero G blocks): the MXU consumes K in 128-lane
+    tiles, so K = W*E = 192 rounds up to 256 anyway — both forms
+    execute the identical 4 tile-passes per operand row — while the
+    phase dots need lane-offset-64 operand slices that Mosaic lowers to
+    extra VPU relayouts. Measured on v5e (interleaved A/B, B=256,
+    T=1000): phase-split fwd 229 us vs single-dot 138 us; fwd+dG 342 vs
+    305. The zero blocks and the F=100->128 padding are MXU
+    tile-granularity floors, not recoverable FLOPs (r5 measurement;
+    see examples/ROOFLINE.md)."""
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
     neg = jnp.float32(-3.0e38)
@@ -150,6 +181,8 @@ def _paired_kernel(x_ref, g_ref, b_ref, out_ref, idx_ref,
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
     x = x_ref[:]                                  # [bt, tp, 128]
+    if masked:
+        x = _input_mask(x, skip_ref, c, tp, halo)
     bt = x.shape[0]
     lanes = x.shape[2]
     f2 = g_ref.shape[1]
@@ -206,23 +239,30 @@ def _paired_geometry(b: int, t: int, window: int):
 
 def _paired_call(xp: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                  b: int, window: int, t_out: int, b_tile: int, tp: int,
-                 interpret: bool, dot_dtype
+                 interpret: bool, dot_dtype, skip=None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the paired-layout kernel over a pre-padded pair-row operand
-    xp [bt_pad, n_chunks*tp, 2E] (already dot_dtype)."""
+    xp [bt_pad, n_chunks*tp, 2E] (already dot_dtype). `skip` is an
+    optional [b, 2] (start, len) per-example word span to zero in the
+    input (the entity-cache leakage mask)."""
     e = xp.shape[2] // 2
     f = kernel.shape[1]
     f_pad = max(-(-f // 128) * 128, 128)
     bt_pad = xp.shape[0]
     n_chunks = xp.shape[1] // tp
     carry_rows = 8
+    masked = skip is not None
 
     g = _build_g(kernel, window, e, f_pad).astype(dot_dtype)
     bp = jnp.pad(bias.reshape(1, f), ((0, 0), (0, f_pad - f)))
+    sk = (jnp.zeros((bt_pad, 2), jnp.int32) if skip is None
+          else jnp.pad(skip.astype(jnp.int32),
+                       ((0, bt_pad - skip.shape[0]), (0, 0))))
 
     out, idx = pl.pallas_call(
         functools.partial(_paired_kernel, t_out=t_out, tp=tp,
-                          dot_dtype=dot_dtype),
+                          dot_dtype=dot_dtype, masked=masked,
+                          halo=window - 1),
         grid=(bt_pad // b_tile, n_chunks),
         in_specs=[
             pl.BlockSpec((b_tile, tp, 2 * e), lambda i, c: (i, c, 0),
@@ -230,6 +270,8 @@ def _paired_call(xp: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
             pl.BlockSpec((4 * e, 2 * f_pad), lambda i, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f_pad), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 2), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -249,7 +291,7 @@ def _paired_call(xp: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
             pltpu.VMEM((b_tile, f_pad), jnp.int32),       # argmax acc
         ],
         interpret=interpret,
-    )(xp, g, bp)
+    )(xp, g, bp, sk)
     return out[:b, :f], idx[:b, :f]
 
 
@@ -403,14 +445,17 @@ def _paired_bwd_kernel(x_ref, g_ref, i_ref, gmat_ref, dx_ref, dg_ref,
         dg_ref[:] = dgacc_ref[:]
 
 
-def _paired_bwd_dg_kernel(x_ref, g_ref, i_ref, dg_ref,
+def _paired_bwd_dg_kernel(x_ref, g_ref, i_ref, skip_ref, dg_ref,
                           carry_ref, zw_ref, gm_ref, dgacc_ref, *,
-                          tp: int, dot_dtype):
+                          tp: int, dot_dtype, masked: bool,
+                          halo: int):
     """dkernel-only backward (need_dx=False): when the conv input is an
     embedding of a FROZEN word table (every review tower here —
     reference DeepCoNN.py:14-16), dx is dead code, so the dzw matmul,
     its [B, T, E] f32 HBM write and the spill carry are all dropped;
-    only the dG accumulation remains."""
+    only the dG accumulation remains. (Same single scattered-G dot as
+    the forward — the phase-split alternative executes the same MXU
+    tile-passes and measured slower; see `_paired_kernel`.)"""
     i = pl.program_id(0)
     c = pl.program_id(1)
     n_i = pl.num_programs(0)
@@ -425,6 +470,8 @@ def _paired_bwd_dg_kernel(x_ref, g_ref, i_ref, dg_ref,
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
     x = x_ref[:]                                   # [bt, tp, 2e]
+    if masked:
+        x = _input_mask(x, skip_ref, c, tp, halo)
     bt, _, lanes = x.shape
     f_pad = g_ref.shape[1]
     cr = carry_ref.shape[1]
@@ -471,7 +518,8 @@ def _backward_paired_dg_only(x, kernel, g, idx, window, interpret,
                             dot_dtype)
 
 
-def _dg_only_from_xp(xp, kernel, g, idx, window, interpret, dot_dtype):
+def _dg_only_from_xp(xp, kernel, g, idx, window, interpret, dot_dtype,
+                     skip=None):
     """dkernel from an already padded/paired flat operand xp
     [bt_pad, L2, 2E] (the layout `paired_operand` caches; bt_pad is a
     b_tile multiple): the tp=64 chunking is a pure view of the same
@@ -490,10 +538,14 @@ def _dg_only_from_xp(xp, kernel, g, idx, window, interpret, dot_dtype):
     gp = jnp.pad(g, ((0, bt_pad - b), (0, f_pad - f)))
     ip = jnp.pad(idx, ((0, bt_pad - b), (0, f_pad - f)),
                  constant_values=-1)
+    sk = (jnp.zeros((bt_pad, 2), jnp.int32) if skip is None
+          else jnp.pad(skip.astype(jnp.int32),
+                       ((0, bt_pad - skip.shape[0]), (0, 0))))
 
     dg = pl.pallas_call(
         functools.partial(_paired_bwd_dg_kernel, tp=tp,
-                          dot_dtype=dot_dtype),
+                          dot_dtype=dot_dtype, masked=skip is not None,
+                          halo=window - 1),
         grid=(bt_pad // b_tile, n_chunks),
         in_specs=[
             pl.BlockSpec((b_tile, tp, 2 * e), lambda i, c: (i, c, 0),
@@ -501,6 +553,8 @@ def _dg_only_from_xp(xp, kernel, g, idx, window, interpret, dot_dtype):
             pl.BlockSpec((b_tile, f_pad), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, f_pad), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 2), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4 * e, 2 * f_pad), lambda i, c: (0, 0),
@@ -513,8 +567,10 @@ def _dg_only_from_xp(xp, kernel, g, idx, window, interpret, dot_dtype):
             pltpu.VMEM((4 * e, 2 * f_pad), jnp.float32),     # dG acc
         ],
         interpret=interpret,
-    )(xp, gp, ip)
+    )(xp, gp, ip, sk)
 
+    # invert the _build_g scatter: sum every (d, h, phase) block that
+    # carried tap w
     dg4 = dg.reshape(2, 2, e, 2, f_pad)
     dkernel = jnp.zeros((window * e, f), dg.dtype)
     for d in (0, 1):
@@ -780,17 +836,22 @@ def paired_operand(x: jnp.ndarray, window: int, dot_dtype) -> jnp.ndarray:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def textcnn_pool_paired(xp, kernel, bias, t: int, window: int = 3,
-                        interpret: bool = False, dot_dtype=jnp.float32):
+                        interpret: bool = False, dot_dtype=jnp.float32,
+                        skip=None):
     """`textcnn_pool` over a pre-paired operand (`paired_operand`):
     [B, L2, 2E] -> [B, F]. `t` is the original (unpadded) doc length.
     The operand comes from the FROZEN word table, so its cotangent is
-    dead (dG-only backward, no relayout pass)."""
-    out, _ = _forward_prepaired(xp, kernel, bias, t, window, interpret,
-                                dot_dtype)
+    dead (dG-only backward, no relayout pass). `skip` (None or [B, 2]
+    int32 (start, len)) zeros that word span of each doc inside the
+    kernel — the entity-cache leakage mask (hp.cache_entity): canonical
+    per-entity docs with the train pair's own review masked in place."""
+    out, _ = _forward_prepaired(xp, kernel, bias, t, window,
+                                interpret, dot_dtype, skip)
     return out
 
 
-def _forward_prepaired(xp, kernel, bias, t, window, interpret, dot_dtype):
+def _forward_prepaired(xp, kernel, bias, t, window, interpret,
+                       dot_dtype, skip=None):
     b = xp.shape[0]
     halo, t_out, b_tile, tp, bt_pad, n_chunks, l_pad = \
         _paired_geometry(b, t, window)
@@ -798,17 +859,21 @@ def _forward_prepaired(xp, kernel, bias, t, window, interpret, dot_dtype):
     if bt_pad != b:
         xp = jnp.pad(xp, ((0, bt_pad - b), (0, 0), (0, 0)))
     return _paired_call(xp.astype(dot_dtype), kernel, bias, b, window,
-                        t_out, b_tile, tp, interpret, dot_dtype)
+                        t_out, b_tile, tp, interpret, dot_dtype,
+                        skip=skip)
 
 
-def _fwd_prepaired(xp, kernel, bias, t, window, interpret, dot_dtype):
-    out, idx = _forward_prepaired(xp, kernel, bias, t, window, interpret,
-                                  dot_dtype)
-    return out, (xp, kernel, out, idx)
+def _fwd_prepaired(xp, kernel, bias, t, window, interpret, dot_dtype,
+                   skip=None):
+    out, idx = _forward_prepaired(xp, kernel, bias, t, window,
+                                  interpret, dot_dtype, skip)
+    return out, (xp, kernel, skip, out, idx)
 
 
 def _bwd_prepaired(t, window, interpret, dot_dtype, res, g):
-    xp, kernel, out, idx = res
+    import numpy as np
+
+    xp, kernel, skip, out, idx = res
     b = xp.shape[0]
     b_tile = min(b, 32)
     bt_pad = -(-b // b_tile) * b_tile
@@ -817,9 +882,11 @@ def _bwd_prepaired(t, window, interpret, dot_dtype, res, g):
     # ReLU gate: a clamped-to-zero max contributes no gradient
     g = jnp.where(out > 0, g, 0.0)
     dkernel = _dg_only_from_xp(xp.astype(dot_dtype), kernel, g, idx,
-                               window, interpret, dot_dtype)
+                               window, interpret, dot_dtype, skip=skip)
+    dskip = (None if skip is None
+             else np.zeros(skip.shape, dtype=jax.dtypes.float0))
     # frozen-table operand: zero cotangent, DCE'd behind stop_gradient
-    return jnp.zeros_like(xp), dkernel, jnp.sum(g, axis=0)
+    return jnp.zeros_like(xp), dkernel, jnp.sum(g, axis=0), dskip
 
 
 textcnn_pool_paired.defvjp(_fwd_prepaired, _bwd_prepaired)

@@ -295,3 +295,40 @@ def test_need_dx_false_same_kernel_grads():
                                    rtol=1e-5, atol=1e-5), e
         np.testing.assert_allclose(np.asarray(gb0), np.asarray(gb1),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_paired_skip_mask_matches_zeroed_input():
+    """The in-kernel leakage mask (entity cache, hp.cache_entity):
+    textcnn_pool_paired with skip=(start, len) must equal the unmasked
+    op on an input whose word span is zeroed at value level — forward
+    bitwise, dkernel bitwise (the mask applies before tap staging in
+    both kernels)."""
+    import jax.numpy as jnp
+    from reviews4rec_tpu.ops.textcnn_pallas import (paired_operand,
+                                                    textcnn_pool,
+                                                    textcnn_pool_paired)
+
+    rng = np.random.default_rng(7)
+    b, t, e, f, w = 5, 70, 64, 9, 3
+    x = jnp.asarray(rng.normal(size=(b, t, e)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(w * e, f)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    # spans: none, interior, whole doc, tail-overhang, single word
+    skip = jnp.asarray([[0, 0], [3, 7], [0, 70], [65, 20], [10, 1]],
+                       jnp.int32)
+    ts = jnp.arange(t)[None, :]
+    m = (ts >= skip[:, :1]) & (ts < skip[:, :1] + skip[:, 1:2])
+    xz = jnp.where(m[..., None], 0.0, x)
+
+    ref = textcnn_pool(xz, kern, bias, w, True, jnp.float32, False)
+    xp = paired_operand(x, w, jnp.float32)
+    got = textcnn_pool_paired(xp, kern, bias, t, w, True, jnp.float32,
+                              skip)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+    gr = jax.grad(lambda k: jnp.sum(
+        textcnn_pool(xz, k, bias, w, True, jnp.float32, False) ** 2))(kern)
+    gp = jax.grad(lambda k: jnp.sum(
+        textcnn_pool_paired(xp, k, bias, t, w, True, jnp.float32,
+                            skip) ** 2))(kern)
+    assert np.array_equal(np.asarray(gr), np.asarray(gp))
