@@ -201,6 +201,19 @@ class HyperParams:
     # corpus vs ~20 GB float): no per-step host transfer for any
     # review model at the cost of an in-jit word gather per step.
     cache_sides: str = "both"
+    # Entity-level doc cache (with cache_doc_embeds, deepconn/deepconn++
+    # only): store ONE canonical doc per user / per item instead of one
+    # per EXAMPLE, so cache HBM scales with entities (~0.6 GB float for
+    # a 100k-interaction corpus) instead of examples (~20 GB) — both
+    # sides fit as floats at any realistic corpus size, and the train
+    # step's host input stays [B] row indices. Train-time leakage
+    # removal becomes an in-kernel MASK of the pair's own review span
+    # (zeroed in place, pad-word semantics) — a documented deviation
+    # from the reference's remove-and-shift (data.py:212-248): the
+    # ~tail words the removal would pull into the truncation window
+    # stay out. Eval splits remove nothing, so eval metrics are
+    # IDENTICAL to every other path (tested).
+    cache_entity: bool = False
     # shard the review-doc time axis of every TextCNN over the model
     # axis (ppermute halo exchange, parallel/sequence.py) — the scaling
     # path for input_length beyond one chip's HBM; requires

@@ -803,6 +803,98 @@ class ReviewDataset:
         return recs
 
     # ------------------------------------------------------------------
+    # Entity-level doc store (hp.cache_entity): ONE canonical
+    # concatenated doc per user / per item (no per-example copies), plus
+    # per-review (start, len) spans inside the owner's doc so train-time
+    # leakage removal becomes an in-place MASK of the pair's own review
+    # (models/layers.py TextCNN `skip`). Memory scales with ENTITIES
+    # (~0.6 GB float for a 100k-interaction corpus) instead of EXAMPLES
+    # (~20 GB) — the storage form that lets every review model's doc
+    # data live in HBM at any realistic corpus size. Semantics
+    # deviation, documented: the reference REMOVES the shared review and
+    # pulls later words into the truncation window
+    # (/root/reference/data.py:212-248); here the span is zeroed in
+    # place (pad-word semantics) and the tail words beyond `words` stay
+    # out. Eval splits remove nothing, so eval-time docs are IDENTICAL
+    # to the per-example materialization (tested).
+    # ------------------------------------------------------------------
+    def _entity_spans(self, words: int):
+        """((user_docs, u_rev_span), (item_docs, i_rev_span)) for the
+        concatenated rows==1 layout: canonical [U|I, words] docs and,
+        aligned with u_off/i_off review ordering, each train review's
+        (start, len) span inside its owner's doc (len 0 = truncated
+        out)."""
+        key = ("entity_docs", words)
+        if key in self._cache:
+            return self._cache[key]
+        flat = self._flat()
+        tokens, rev_off = flat["tokens"], flat["rev_off"]
+        u_off, i_off = flat["u_off"], flat["i_off"]
+        i_revs = flat["i_revs"]
+        n_train = int(flat["u_revs"].shape[0])
+
+        def side(rids: np.ndarray, seg_off: np.ndarray, n_ent: int):
+            lens = (rev_off[rids + 1] - rev_off[rids]).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(lens)])
+            counts = np.diff(seg_off).astype(np.int64)
+            # exclusive prefix length within the owner's segment
+            excl = csum[:-1] - np.repeat(csum[seg_off[:-1]], counts)
+            start = np.minimum(excl, words)
+            ln = np.maximum(np.minimum(lens, words - start), 0)
+            span = np.stack([start, ln], axis=1).astype(np.int32)
+            docs = np.zeros((n_ent, words), np.int32)
+            owner = np.repeat(np.arange(n_ent), counts)
+            for j in range(len(rids)):
+                m = int(ln[j])
+                if m > 0:
+                    s = int(start[j])
+                    r = int(rids[j])
+                    docs[owner[j], s:s + m] = \
+                        tokens[rev_off[r]:rev_off[r] + m]
+            return docs, span
+
+        # user side: reviews are user-major 0..n_train in u_off order;
+        # item side: i_revs indexes the same token store in i_off order
+        out = (side(np.arange(n_train), u_off, self.num_users),
+               side(i_revs, i_off, self.num_items))
+        self._cache[key] = out
+        return out
+
+    def materialize_entity(self, hp, split: str) -> Dict[str, np.ndarray]:
+        """Per-example records for the ENTITY doc cache: ids + rating +
+        (train only) the leakage-mask spans 'user_skip'/'item_skip'
+        ([N, 2] int32 (start, len) into the canonical docs). No doc
+        tensors — those live once per entity (`_entity_spans`). Only
+        the concatenated rows==1 layout (deepconn/deepconn++) is
+        entity-cacheable."""
+        rows, words = _doc_layout(hp)
+        if rows != 1:
+            raise ValueError(
+                "entity doc cache supports the concatenated rows==1 doc "
+                f"layout only; {hp.model_type!r} uses {rows} rows")
+        sp = self.splits[split]
+        recs = {"user": sp.user.astype(np.int32),
+                "item": sp.item.astype(np.int32),
+                "rating": sp.rating.astype(np.float32)}
+        if split == "train":
+            flat = self._flat()
+            user, item, ui_idx, iu_idx, _ = self._examples(split)
+            (_, u_span), (_, i_span) = self._entity_spans(words)
+            zero = np.zeros(2, np.int32)
+
+            def spans(idx, off, ent, span):
+                pos = off[ent] + np.maximum(idx, 0)
+                s = span[np.minimum(pos, len(span) - 1)] \
+                    if len(span) else np.zeros((len(ent), 2), np.int32)
+                return np.where(idx[:, None] >= 0, s, zero[None])
+
+            recs["user_skip"] = spans(ui_idx, flat["u_off"], user,
+                                      u_span).astype(np.int32)
+            recs["item_skip"] = spans(iu_idx, flat["i_off"], item,
+                                      i_span).astype(np.int32)
+        return recs
+
+    # ------------------------------------------------------------------
     # Persistence: one compressed .npz per dataset directory (replaces
     # the reference's pickle zoo, preprocess_random_split.py:271-298).
     # ------------------------------------------------------------------

@@ -51,11 +51,19 @@ class DeepCoNN(nn.Module):
                    prepaired_t=self.prepaired_t,
                    seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
                    seq_batch_axis=self.seq_batch_axis)
+        # entity-cache leakage masks ([B, 2] (start, len) spans of the
+        # pair's own review inside the canonical docs — hp.cache_entity)
+        u_skip = batch.get("user_skip")
+        i_skip = batch.get("item_skip")
+        if u_skip is not None:
+            u_skip = u_skip.reshape(-1, 2)
+        if i_skip is not None:
+            i_skip = i_skip.reshape(-1, 2)
         wv = frozen_word_table(self, self.word_vectors)
         u = TextCNN(self.latent_size, self.dropout, name="user_conv",
-                    **cnn)(udoc, train=train, table=wv)
+                    **cnn)(udoc, train=train, table=wv, skip=u_skip)
         i = TextCNN(self.latent_size, self.dropout, name="item_conv",
-                    **cnn)(idoc, train=train, table=wv)
+                    **cnn)(idoc, train=train, table=wv, skip=i_skip)
         if u_lead != lead:
             u = jnp.broadcast_to(u.reshape(u_lead + u.shape[-1:]),
                                  lead + u.shape[-1:]) \

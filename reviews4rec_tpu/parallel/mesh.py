@@ -134,8 +134,20 @@ def shard_cache(cache, mesh: Mesh):
     GLOBAL row ids sharded P("data") on the batch dim; GSPMD lowers it
     to the owner-computes masked-gather + psum exchange over ICI —
     expected (n-1)/n of a shuffled batch's rows cross the interconnect,
-    the unavoidable cost of a shuffled stream over a sharded store."""
+    the unavoidable cost of a shuffled stream over a sharded store.
+
+    An EntityCache (train/loop.py, hp.cache_entity) shards its
+    per-example arrays the same way while REPLICATING the canonical doc
+    tables: they are entity-scaled (~MBs-to-sub-GB), and a replicated
+    table turns the second-level doc gather into a local read on every
+    shard — no ICI exchange for the bulk bytes."""
     import jax.numpy as jnp
+
+    from ..train.loop import EntityCache
+
+    if isinstance(cache, EntityCache):
+        return EntityCache(example=shard_cache(cache.example, mesh),
+                           tables=replicate(cache.tables, mesh))
 
     n_data = mesh.shape[mesh.axis_names[0]]
     out = {}

@@ -127,12 +127,13 @@ def make_cached_eval_step(apply_fn: Callable, model_type: str):
 
     @jax.jit
     def eval_step(params, cache, rows, weight):
-        batch = {k: jnp.take(v, rows, axis=0) for k, v in cache.items()}
-        # the Batcher's padding mask: padded tail rows gather row 0's
-        # records, and without the mask they would enter the model's own
-        # weight-masked terms (transnet's trans_loss) with weight 1,
-        # breaking the 'identical metrics' contract with `evaluate`
-        batch["weight"] = weight
+        from .loop import gather_cached_batch
+        # the Batcher's padding mask ("weight") matters: padded tail
+        # rows gather row 0's records, and without the mask they would
+        # enter the model's own weight-masked terms (transnet's
+        # trans_loss) with weight 1, breaking the 'identical metrics'
+        # contract with `evaluate`
+        batch = gather_cached_batch(cache, rows, weight)
         preds = apply_fn(params, batch, False, jax.random.PRNGKey(0))
         y = batch["rating"]
         if model_type in ("transnet", "transnet++"):

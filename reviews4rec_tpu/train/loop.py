@@ -307,6 +307,54 @@ def build_doc_cache(records: Dict, word_vectors, dtype,
     return cache
 
 
+class EntityCache(NamedTuple):
+    """Device-resident ENTITY doc cache (hp.cache_entity): `example`
+    holds the small per-example arrays (ids, rating, leakage-mask
+    spans), `tables` the canonical per-entity doc stores keyed by the
+    record name they materialize into ("user_doc" -> [U, ...],
+    "item_doc" -> [I, ...]; float prepaired/plain or raw ids per
+    hp.cache_sides). Both parts are ordinary device arrays, so the
+    tuple flows through jit as a pytree."""
+
+    example: Dict
+    tables: Dict
+
+
+ENTITY_ID_KEY = {"user_doc": "user", "item_doc": "item"}
+
+
+def gather_cached_batch(cache, rows, weight) -> Dict:
+    """In-jit batch assembly shared by the cached train and eval steps:
+    gather [B] example rows; with an EntityCache additionally gather
+    each doc side's canonical row by the example's entity id (a second
+    bandwidth-trivial whole-row gather)."""
+    if isinstance(cache, EntityCache):
+        batch = {k: jnp.take(v, rows, axis=0)
+                 for k, v in cache.example.items()}
+        for dk, table in cache.tables.items():
+            batch[dk] = jnp.take(table, batch[ENTITY_ID_KEY[dk]], axis=0)
+    else:
+        batch = {k: jnp.take(v, rows, axis=0) for k, v in cache.items()}
+    batch["weight"] = weight
+    return batch
+
+
+def build_entity_cache(records: Dict, entity_docs: Dict, word_vectors,
+                       dtype, paired_window: Optional[int] = None,
+                       keys: Tuple[str, ...] = (),
+                       id_keys: Tuple[str, ...] = ()) -> EntityCache:
+    """EntityCache from per-example `records` (materialize_entity) and
+    canonical `entity_docs` ({"user_doc": [U, T], "item_doc": [I, T]}
+    int32). Doc tables embed/pair exactly like the per-example cache
+    (`build_doc_cache` machinery, so cached bytes are bitwise the same
+    function of the docs)."""
+    tables = build_doc_cache(entity_docs, word_vectors, dtype,
+                             paired_window=paired_window, keys=keys,
+                             id_keys=id_keys)
+    example = {k: jnp.asarray(np.asarray(v)) for k, v in records.items()}
+    return EntityCache(example=example, tables=tables)
+
+
 def paired_window_for(hp: HyperParams) -> Optional[int]:
     """Conv window when the doc cache should store Pallas paired
     operands; None when the plain [..., T, E] layout applies (XLA path,
@@ -329,11 +377,7 @@ def make_cached_train_step(apply_fn: Callable,
     come stacked [S, B] and the updates run under `lax.scan`."""
     update = _make_update(apply_fn, optimizer, model_type, loss_name,
                           hinge_margin)
-
-    def gather(cache, rows, weight):
-        batch = {k: jnp.take(v, rows, axis=0) for k, v in cache.items()}
-        batch["weight"] = weight
-        return batch
+    gather = gather_cached_batch
 
     if scan_steps > 1:
         @partial(jax.jit, donate_argnums=_donate())
@@ -592,6 +636,36 @@ def train_complete(hp: HyperParams, model, dataset, *,
     if ranking and hp.model_type in ("transnet", "transnet++"):
         raise ValueError("ranking losses are not defined for transnet's "
                          "routed 3-loss objective; use loss='RAW_MSE'")
+
+    use_cache = hp.cache_doc_embeds
+    use_entity = use_cache and hp.cache_entity
+    if use_cache:
+        if hp.family != "review" or hp.model_type == "MPCN":
+            raise ValueError(
+                "cache_doc_embeds pre-embeds the FROZEN word table and "
+                "only applies to deepconn/NARRE/transnet; "
+                f"{hp.model_type!r} has no frozen doc embedding")
+        if not use_entity and mesh is not None and jax.process_count() > 1:
+            raise ValueError(
+                "per-example cache_doc_embeds + multi-host is "
+                "unsupported (one global device array per split); use "
+                "cache_entity=True (entity tables replicate per host) "
+                "or drop the cache")
+        # an epochs=0 run (smoke/eval-only) never trains: skip the
+        # (HBM-expensive) cache build entirely
+        use_cache = use_cache and hp.epochs > 0
+        use_entity = use_entity and hp.epochs > 0
+    if use_entity:
+        if hp.model_type not in ("deepconn", "deepconn++"):
+            raise ValueError(
+                "cache_entity supports the concatenated-doc towers "
+                "(deepconn/deepconn++); NARRE's per-review layout and "
+                "transnet's this_doc need per-example records")
+        if ranking:
+            raise ValueError(
+                "cache_entity trains pointwise (RAW_MSE); candidate-grid "
+                "ranking losses use the per-example cache")
+
     if ranking:
         # candidate-grid training: [N, C] grids with the positive in
         # column 0; validation selects by HR@1 over val grids
@@ -599,6 +673,10 @@ def train_complete(hp: HyperParams, model, dataset, *,
                                                     seed=hp.seed)
         val_recs = dataset.materialize_train_negs(hp, "val",
                                                   seed=hp.seed + 1)
+    elif use_entity:
+        # no per-example doc tensors at all: ids + rating + mask spans
+        train_recs = dataset.materialize_entity(hp, "train")
+        val_recs = dataset.materialize_entity(hp, "val")
     else:
         train_recs = dataset.materialize(hp, "train")
         val_recs = dataset.materialize(hp, "val")
@@ -606,45 +684,44 @@ def train_complete(hp: HyperParams, model, dataset, *,
                       shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
     val_b = Batcher(val_recs, hp.batch_size)
 
-    use_cache = hp.cache_doc_embeds
-    if use_cache:
-        if hp.family != "review" or hp.model_type == "MPCN":
-            raise ValueError(
-                "cache_doc_embeds pre-embeds the FROZEN word table and "
-                "only applies to deepconn/NARRE/transnet; "
-                f"{hp.model_type!r} has no frozen doc embedding")
-        if mesh is not None and jax.process_count() > 1:
-            raise ValueError(
-                "cache_doc_embeds + multi-host is unsupported: the cache "
-                "is built as one global device array per split, which a "
-                "multi-process runtime cannot device_put; drop the cache "
-                "or run single-host")
-        # an epochs=0 run (smoke/eval-only) never trains: skip the
-        # (HBM-expensive) cache build entirely
-        use_cache = hp.epochs > 0
     if use_cache:
         pw = paired_window_for(hp)
         ck, idk = doc_cache_keys(hp.model_type, hp.cache_sides)
-        train_cache = build_doc_cache(train_recs, dataset.word_vectors,
-                                      cache_dtype_for(hp),
-                                      paired_window=pw, keys=ck,
-                                      id_keys=idk)
+        if use_entity:
+            _, words = (1, hp.input_length)
+            (udocs, _), (idocs, _) = dataset._entity_spans(words)
+            entity_docs = {"user_doc": udocs, "item_doc": idocs}
+            train_cache = build_entity_cache(
+                train_recs, entity_docs, dataset.word_vectors,
+                cache_dtype_for(hp), paired_window=pw, keys=ck,
+                id_keys=idk)
+            # val shares the SAME doc tables (eval removes nothing);
+            # only the tiny per-example arrays differ
+            val_cache = EntityCache(
+                example={k: jnp.asarray(np.asarray(v))
+                         for k, v in val_recs.items()},
+                tables=train_cache.tables)
+        else:
+            train_cache = build_doc_cache(
+                train_recs, dataset.word_vectors, cache_dtype_for(hp),
+                paired_window=pw, keys=ck, id_keys=idk)
+            # ranking mode validates by HR@1 over candidate grids
+            # through eval_ranking (uncached — one [N, C] pass per
+            # epoch); only the pointwise val eval consumes a cache
+            val_cache = (build_doc_cache(val_recs, dataset.word_vectors,
+                                         cache_dtype_for(hp),
+                                         paired_window=pw, keys=ck,
+                                         id_keys=idk)
+                         if not ranking else None)
         # identical shuffle stream to `train_b` (same seed/epoch keying),
         # but yielding row indices into the device cache
         row_b = Batcher({"row": np.arange(train_b.n)}, hp.batch_size,
                         shuffle=hp.shuffle_data_every_epoch, seed=hp.seed)
-        # ranking mode validates by HR@1 over candidate grids through
-        # eval_ranking (uncached — one [N, C] pass per epoch); only the
-        # pointwise val eval consumes a cache
-        val_cache = (build_doc_cache(val_recs, dataset.word_vectors,
-                                     cache_dtype_for(hp),
-                                     paired_window=pw, keys=ck,
-                                     id_keys=idk)
-                     if not ranking else None)
         if mesh is not None:
             # compose the cache with the mesh: row-shard every cache
             # array over the data axis; the jitted gather then exchanges
-            # batch rows over ICI (see parallel.mesh.shard_cache)
+            # batch rows over ICI (see parallel.mesh.shard_cache).
+            # EntityCache: example rows shard, doc tables replicate.
             from ..parallel.mesh import shard_cache
             train_cache = shard_cache(train_cache, mesh)
             if val_cache is not None:
@@ -663,6 +740,16 @@ def train_complete(hp: HyperParams, model, dataset, *,
         if params is None:
             init_rng = jax.random.fold_in(root_rng, 0)
             sample = next(iter(train_b))
+            if use_entity:
+                # entity records carry no doc tensors; init only needs
+                # shapes — gather int docs host-side from the canonical
+                # store (params are identical whichever doc form the
+                # model later consumes)
+                (udocs, _), (idocs, _) = dataset._entity_spans(
+                    hp.input_length)
+                sample = dict(sample,
+                              user_doc=udocs[sample["user"]],
+                              item_doc=idocs[sample["item"]])
             params = model.init({"params": init_rng, "dropout": init_rng},
                                 sample, train=False)["params"]
         if mesh is not None:
