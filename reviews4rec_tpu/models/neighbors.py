@@ -148,10 +148,95 @@ def _nmf_fit(users, items, ratings, num_users, num_items, *,
 # user-kNN with MSD similarity
 # ----------------------------------------------------------------------
 
+# Above this many dense-similarity cells the [U, I]/[U, U] matmul path
+# switches to the nnz-scaling blocked path (`_knn_predict_chunked`) —
+# ~0.4 GB of f32 at the default, the point where dense stops being the
+# obviously-right trade on a 16 GB chip shared with the caller.
+KNN_DENSE_CELL_LIMIT = 100_000_000
+
+
+def _knn_predict_chunked(dataset: ReviewDataset, hp: HyperParams,
+                         test_u: np.ndarray, test_i: np.ndarray,
+                         block: int = 128) -> np.ndarray:
+    """User-kNN MSD predictions in BOUNDED memory (VERDICT r4 #6: the
+    dense path materializes [U, I] and [U, U] — 40+ GB at a real Amazon
+    category's 100k users). Identical estimates to `_knn_predict`
+    (tested); memory is O(block * max(U, nnz)) — never a dense [U, U]
+    or [U, I].
+
+    Per block of `block` test PAIRS, every [*, U] row is built by
+    column-scatter over the train COO stream instead of a matmul
+    against a dense [U, I] operand:
+      common[p, v] = sum_j Mb[p, j] M[v, j]
+                   = scatter_add_v( Mb[:, tr.item] )
+    and likewise for the three MSD terms and the per-pair rater mask
+    (M's column i_p). Scatter operands are [block, nnz] — nnz-scaling,
+    like the CSR formulation of the same sums."""
+    tr = dataset.splits["train"]
+    U, I = dataset.num_users, dataset.num_items
+    tu_all = np.asarray(test_u, np.int64)
+    ti_all = np.asarray(test_i, np.int64)
+    mu = float(tr.rating.mean())
+    k = min(hp.knn_k, U)
+
+    tr_u = jnp.asarray(tr.user.astype(np.int32))
+    tr_i = jnp.asarray(tr.item.astype(np.int32))
+    tr_r = jnp.asarray(tr.rating)
+
+    @partial(jax.jit, static_argnames=())
+    def block_predict(bu, bi):
+        p = bu.shape[0]
+        # dense rows of the block's USERS only: [p, I]
+        hit = bu[:, None] == tr_u[None, :]              # [p, nnz]
+        prow = jnp.broadcast_to(jnp.arange(p)[:, None], hit.shape)
+        icol = jnp.broadcast_to(tr_i[None], hit.shape)
+        Rb = jnp.zeros((p, I)).at[prow, icol].add(
+            jnp.where(hit, tr_r[None, :], 0.0))
+        Mb = jnp.minimum(jnp.zeros((p, I)).at[prow, icol].add(
+            jnp.where(hit, 1.0, 0.0)), 1.0)
+
+        # gather per-nnz contributions and scatter into user columns
+        gb_r = Rb[:, tr_i]                               # [p, nnz]
+        gb_m = Mb[:, tr_i]
+        z = jnp.zeros((p, U))
+        common = z.at[:, tr_u].add(gb_m)
+        cross = z.at[:, tr_u].add(gb_r * tr_r[None, :])
+        sq_a = z.at[:, tr_u].add((gb_r * gb_r))
+        sq_b = z.at[:, tr_u].add(gb_m * (tr_r * tr_r)[None, :])
+        sd = sq_a + sq_b - 2.0 * cross
+        sim = jnp.where(common > 0, common / (sd + common), 0.0)
+        sim = sim.at[jnp.arange(p), bu].set(0.0)         # no self-vote
+
+        # per-pair rater mask: M's column i_p, again by scatter
+        is_i = (bi[:, None] == tr_i[None, :]).astype(jnp.float32)
+        mcol = jnp.minimum(z.at[:, tr_u].add(is_i), 1.0)
+        rcol = z.at[:, tr_u].add(is_i * tr_r[None, :])
+        w = sim * mcol
+        topw, topidx = jax.lax.top_k(w, k)
+        vals = jnp.take_along_axis(rcol, topidx, axis=1)
+        denom = jnp.sum(topw, axis=1)
+        est = jnp.where(denom > 0,
+                        jnp.sum(topw * vals, axis=1) / denom, mu)
+        return jnp.clip(est, hp.rating_min, hp.rating_max)
+
+    out = np.empty(len(tu_all), np.float64)
+    for s in range(0, len(tu_all), block):
+        e = min(s + block, len(tu_all))
+        bu = np.full(block, 0, np.int32)
+        bi = np.full(block, 0, np.int32)
+        bu[:e - s] = tu_all[s:e]
+        bi[:e - s] = ti_all[s:e]
+        out[s:e] = np.asarray(block_predict(jnp.asarray(bu),
+                                            jnp.asarray(bi)))[:e - s]
+    return out
+
+
 def _knn_predict(dataset: ReviewDataset, hp: HyperParams,
                  test_u: np.ndarray, test_i: np.ndarray) -> np.ndarray:
     tr = dataset.splits["train"]
     U, I = dataset.num_users, dataset.num_items
+    if max(U * I, U * U) > KNN_DENSE_CELL_LIMIT:
+        return _knn_predict_chunked(dataset, hp, test_u, test_i)
     R = jnp.zeros((U, I)).at[jnp.asarray(tr.user),
                              jnp.asarray(tr.item)].set(
         jnp.asarray(tr.rating))

@@ -96,3 +96,41 @@ def test_api_dispatch(dataset, hp_base):
     hp = hp_base.replace(model_type="baseline")
     m, ucm, _ = run(hp, dataset)
     assert "MSE" in m and m["dataset"] == "synthetic"
+
+
+def test_knn_chunked_matches_dense(dataset, hp_base):
+    """The bounded-memory blocked kNN path (scatter-built MSD terms)
+    reproduces the dense-matmul path's estimates."""
+    from reviews4rec_tpu.config import HyperParams
+    from reviews4rec_tpu.models.neighbors import (_knn_predict,
+                                                  _knn_predict_chunked)
+
+    hp = hp_base.replace(model_type="kNN", knn_k=5)
+    te = dataset.splits["test"]
+    dense = _knn_predict(dataset, hp, te.user, te.item)
+    chunked = _knn_predict_chunked(dataset, hp, te.user, te.item,
+                                   block=7)
+    assert np.allclose(dense, chunked, atol=1e-4)
+
+
+def test_knn_scales_past_dense_limit():
+    """A wide corpus (120k users) routes to the chunked path and
+    predicts in bounded memory — the dense [U, U] would be 58 GB."""
+    from types import SimpleNamespace
+
+    from reviews4rec_tpu.config import HyperParams
+    from reviews4rec_tpu.data.corpus import Split
+    from reviews4rec_tpu.models.neighbors import _knn_predict
+
+    rng = np.random.default_rng(0)
+    U, I, NNZ = 120_000, 500, 30_000
+    tr = Split(rng.integers(0, U, NNZ).astype(np.int32),
+               rng.integers(0, I, NNZ).astype(np.int32),
+               rng.uniform(1, 5, NNZ).astype(np.float32))
+    ds = SimpleNamespace(num_users=U, num_items=I,
+                         splits={"train": tr})
+    hp = HyperParams(model_type="kNN", knn_k=10)
+    preds = _knn_predict(ds, hp, np.array([0, 5, 77]),
+                         np.array([3, 1, 4]))
+    assert preds.shape == (3,)
+    assert np.all((preds >= 1.0) & (preds <= 5.0))
