@@ -362,7 +362,16 @@ class HFTTrainer:
         """HR@1 over the 6-candidate groups (calculateHR,
         language.cpp:529-562; ties break toward the higher candidate
         index in the C++ set ordering, i.e. a tied positive does NOT
-        count as a hit)."""
+        count as a hit — strict-`>=` on the negatives).
+
+        Tie-semantics contract (VERDICT r4 #7, tested in test_hft.py):
+        NARROW 1+5 metrics reproduce each reference back-end exactly —
+        `>=` here (C++), `>` in the gradient family's rank_step
+        (torch-argmax picks the first maximum and the positive is
+        column 0, eval.py:74-88). WIDE 1+eval_num_negs sets are a NEW
+        shared protocol with no reference counterpart: every family —
+        including `run_hft` below — ranks them with the shared `>`
+        convention so cross-family HR@10/NDCG@10 rows are comparable."""
         preds = _predict(params, self.data.neg_users, self.data.neg_items)
         pos = preds[:, :1]
         hit = jnp.sum(preds[:, 1:] >= pos, axis=1) == 0
@@ -483,6 +492,9 @@ def run_hft(hp: HyperParams, dataset: ReviewDataset, quiet: bool = True):
             preds = _predict(trainer.params,
                              jnp.asarray(wide["user"]),
                              jnp.asarray(wide["item"]))
+            # strict `>`: wide sets use the cross-family shared
+            # convention, NOT HFTTrainer.ranking's C++-parity `>=`
+            # (see its docstring for the full tie contract)
             ranks = np.asarray(jnp.sum(preds[:, 1:] > preds[:, :1],
                                        axis=1))
             metrics.update(ranks_to_metrics(ranks, wide_ks))

@@ -196,3 +196,33 @@ def test_hft_sharded_em_matches_single_device(dataset, hp_base):
     assert np.isclose(got["MSE"], ref["MSE"], rtol=1e-4, atol=1e-5)
     assert got["HR@1"] == ref["HR@1"]
     assert set(ucm) == set(ucm_ref)
+
+
+def test_tie_semantics_pinned(dataset, hp_base, monkeypatch):
+    """Crafted tied scores pin the tie contract (VERDICT r4 #7):
+    HFTTrainer.ranking counts a tied positive as a MISS (C++ `>=`
+    parity, language.cpp:529-562) while the gradient family's rank_step
+    counts only strictly-higher negatives (torch-argmax parity — the
+    positive is column 0 and argmax picks the first maximum)."""
+    from reviews4rec_tpu.models import hft as hft_mod
+    from reviews4rec_tpu.train.evaluate import make_rank_step
+
+    hp = hp_base.replace(model_type="HFT")
+    trainer = HFTTrainer(hp, dataset)
+    m = trainer.data.neg_users.shape[0]
+    c = trainer.data.neg_items.shape[1]
+    # row 0: positive ties the best negative -> C++ counts a miss;
+    # row 1+: positive strictly best -> hit
+    preds = np.full((m, c), 1.0, np.float32)
+    preds[1:, 0] = 2.0
+    monkeypatch.setattr(hft_mod, "_predict",
+                        lambda params, u, i: jnp.asarray(preds))
+    hr = trainer.ranking(None)
+    assert abs(hr - 100.0 * (m - 1) / m) < 1e-6
+
+    # gradient family: identical crafted scores -> the tied positive
+    # WINS (rank counts strictly-higher negatives only)
+    rank_step = make_rank_step(
+        lambda params, batch, train, rng: batch["score"], "MF_dot")
+    ranks = np.asarray(rank_step({}, {"score": jnp.asarray(preds)}))
+    assert ranks[0] == 0 and np.all(ranks == 0)
