@@ -119,13 +119,15 @@ def evaluate(eval_step, params, batcher: Batcher, hp: HyperParams,
                         item_count)
 
 
-def make_cached_eval_step(apply_fn: Callable, model_type: str):
+def make_cached_eval_step(apply_fn: Callable, model_type: str, mesh=None):
     """Eval step over a device-resident record cache (hp.cache_doc_embeds,
     train/loop.py::build_doc_cache): the batch is gathered in-jit from
     cached rows, so per-epoch validation costs no host transfer and no
-    per-word table gather."""
+    per-word table gather. Under multi-host the per-example outputs are
+    forced replicated (`_replicated_out`) so every process can fetch
+    them."""
 
-    @jax.jit
+    @partial(jax.jit, **_replicated_out(mesh))
     def eval_step(params, cache, rows, weight):
         from .loop import gather_cached_batch
         # the Batcher's padding mask ("weight") matters: padded tail

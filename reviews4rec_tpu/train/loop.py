@@ -800,7 +800,8 @@ def train_complete(hp: HyperParams, model, dataset, *,
         if use_cache and not ranking:
             from .evaluate import evaluate_cached, make_cached_eval_step
             cached_eval_step = make_cached_eval_step(apply_fn,
-                                                     hp.model_type)
+                                                     hp.model_type,
+                                                     mesh=mesh)
         eval_step = make_eval_step(apply_fn, hp.model_type, mesh=mesh)
         rank_step = (make_rank_step(apply_fn, hp.model_type, mesh=mesh)
                      if ranking else None)

@@ -44,6 +44,18 @@ def main() -> None:
         {"pid": pid, "MSE": metrics["MSE"], "HR@1": metrics["HR@1"],
          "HR@10": metrics["HR@10"], "n_ucm": len(ucm)}), flush=True)
 
+    # the flagship perf path ACROSS HOSTS (VERDICT r4 #3): entity doc
+    # cache — every process device_puts its example-row shard over the
+    # data axis and replicates the (entity-scaled) doc tables
+    hp2 = ds.apply_to(HyperParams(
+        model_type="deepconn++", epochs=1, batch_size=32, latent_size=8,
+        input_length=64, mesh_shape=(2, 1), save_model=False,
+        cache_doc_embeds=True, cache_entity=True))
+    metrics2, _, _ = run(hp2, ds)
+    print("METRICS2 " + json.dumps(
+        {"pid": pid, "MSE": metrics2["MSE"], "HR@1": metrics2["HR@1"],
+         "HR@10": metrics2["HR@10"]}), flush=True)
+
 
 if __name__ == "__main__":
     main()

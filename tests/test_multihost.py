@@ -53,12 +53,34 @@ def multihost_metrics():
             if line.startswith("METRICS "):
                 m = json.loads(line[len("METRICS "):])
                 metrics[m.pop("pid")] = m
-    assert set(metrics) == {0, 1}, f"missing worker output: {outs}"
+            elif line.startswith("METRICS2 "):
+                m = json.loads(line[len("METRICS2 "):])
+                metrics[("cached", m.pop("pid"))] = m
+    assert {0, 1} <= set(metrics), f"missing worker output: {outs}"
     return metrics
 
 
 def test_both_processes_report_identical_metrics(multihost_metrics):
     assert multihost_metrics[0] == multihost_metrics[1]
+
+
+def test_cached_flagship_spans_hosts(multihost_metrics, dataset):
+    """The entity doc cache works ACROSS processes (VERDICT r4 #3):
+    both workers agree, and the 2-process cached run reproduces the
+    single-process cached metrics."""
+    from reviews4rec_tpu.api import run
+    from reviews4rec_tpu.config import HyperParams
+
+    got = multihost_metrics[("cached", 0)]
+    assert got == multihost_metrics[("cached", 1)]
+    hp = dataset.apply_to(HyperParams(
+        model_type="deepconn++", epochs=1, batch_size=32, latent_size=8,
+        input_length=64, save_model=False, cache_doc_embeds=True,
+        cache_entity=True))
+    ref, _, _ = run(hp, dataset)
+    assert np.isclose(got["MSE"], ref["MSE"], atol=3e-4)
+    assert got["HR@1"] == ref["HR@1"]
+    assert got["HR@10"] == ref["HR@10"]
 
 
 def test_multihost_matches_single_process(multihost_metrics, dataset):
