@@ -113,15 +113,21 @@ def test_api_run_on_mesh_matches_single_device(dataset, hp_base,
 
 
 def test_api_run_mesh_review_model(dataset, hp_base):
-    """A review tower (deepconn) trains through api.run on a 4x2 mesh
-    without error and produces finite metrics."""
+    """Full-run mesh parity for a review tower (VERDICT r4 #8): api.run
+    (train + val selection + test eval + ranking) for deepconn on a 4x2
+    mesh reproduces the single-device metrics — same tolerance contract
+    as the MF_dot case above (sharded autodiff reorders reductions;
+    discrete HR@k must agree exactly)."""
     from reviews4rec_tpu.api import run
 
     hp = hp_base.replace(model_type="deepconn", epochs=1, batch_size=16,
-                         mesh_shape=(4, 2))
-    m, _, _ = run(hp, dataset)
-    assert np.isfinite(m["MSE"])
-    assert "HR@1" in m
+                         save_model=False)
+    ref, ucm_ref, _ = run(hp, dataset)
+    got, ucm, _ = run(hp.replace(mesh_shape=(4, 2)), dataset)
+    assert np.isclose(got["MSE"], ref["MSE"], atol=3e-4)
+    assert got["HR@1"] == ref["HR@1"]
+    assert got["HR@10"] == ref["HR@10"]
+    assert set(ucm) == set(ucm_ref)
 
 
 def test_mesh_from_hp_validates_batch():
