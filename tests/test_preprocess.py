@@ -246,3 +246,39 @@ def test_vocab_persists_and_encodes_new_text(tmp_path):
     some_word = next(iter(ds.vocab))
     ids = ds2.encode_text(f"{some_word} zzzzunknownzzzz {some_word.upper()}")
     assert ids.tolist() == [ds.vocab[some_word], 0, ds.vocab[some_word]]
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+def test_sgns_planted_synonyms_land_close(backend):
+    """Planted-co-occurrence guard (VERDICT r4 #10) for BOTH backends:
+    word 2j and 2j+1 always appear adjacent (synonym pairs in distinct
+    sentences of zipfian filler); after training, a pair's centered
+    cosine must beat random pairs by a clear margin — the signal the
+    batched scatter-mean updates and the mean-centering deviation must
+    preserve, since every review tower consumes these vectors frozen."""
+    from reviews4rec_tpu.data.preprocess import train_word2vec
+
+    rng = np.random.default_rng(1)
+    n_pairs, n_fill = 30, 200
+    fill_base = 1 + 2 * n_pairs
+    zipf = 1.0 / np.arange(1, n_fill + 1)
+    zipf /= zipf.sum()
+    seqs = []
+    for _ in range(600):
+        j = rng.integers(0, n_pairs)
+        fills = fill_base + rng.choice(n_fill, size=12, p=zipf)
+        pos = rng.integers(0, 11)
+        s = np.concatenate([fills[:pos], [1 + 2 * j, 2 + 2 * j],
+                            fills[pos:]])
+        seqs.append(s.astype(np.int64))
+    V = fill_base + n_fill - 1
+    vecs = train_word2vec(seqs, num_words=V, epochs=10, backend=backend,
+                          seed=0)
+    v = vecs[1:]
+    vc = v - v.mean(0)
+    nv = vc / (np.linalg.norm(vc, axis=1, keepdims=True) + 1e-9)
+    pair_cos = np.mean([nv[2 * j] @ nv[2 * j + 1]
+                        for j in range(n_pairs)])
+    rand = rng.integers(0, len(nv), size=(500, 2))
+    rand_cos = np.mean([nv[a] @ nv[b] for a, b in rand if a != b])
+    assert pair_cos > rand_cos + 0.25, (backend, pair_cos, rand_cos)
