@@ -244,6 +244,11 @@ class FactorizedRecommender:
       tiny pairwise ScorerMLP head runs per query over the broadcast
       [U, C, 2L] features (~100 MFLOP at catalog 10k) — exact, since
       the head consumes nothing but tower outputs and id biases.
+    - NARRE: the per-review encoders AND the review-level attention are
+      per-side (each side attends over its OWN reviews with its OWN
+      neighbor ids — models/narre.py:86-105), so u = u_att + ue[u] and
+      i = i_att + ie[i] precompute per entity; per pair only the
+      hadamard MLP head relu((u*i)W0 + b0).w1 runs — exact.
 
     The catalog's item tower runs ONCE at construction (`item_chunk`
     docs at a time); `topk` then encodes only the query users and
@@ -253,7 +258,8 @@ class FactorizedRecommender:
     transnet's joint transform over both docs) raise; use
     `Recommender`."""
 
-    SUPPORTED = ("bias_only", "MF_dot", "deepconn", "deepconn++")
+    SUPPORTED = ("bias_only", "MF_dot", "deepconn", "deepconn++",
+                 "NARRE")
 
     def __init__(self, hp: HyperParams, dataset: ReviewDataset,
                  params=None, model=None, item_chunk: int = 1024,
@@ -274,7 +280,9 @@ class FactorizedRecommender:
             items = np.arange(dataset.num_items, dtype=np.int32)
         self.items = np.asarray(items, np.int32)
 
-        if hp.model_type in ("deepconn", "deepconn++"):
+        if hp.model_type == "NARRE":
+            self._build_narre(hp, dataset, params, item_chunk)
+        elif hp.model_type in ("deepconn", "deepconn++"):
             self._build_deepconn(hp, dataset, params, item_chunk)
         else:
             self._build_mf(hp, params)
@@ -384,6 +392,92 @@ class FactorizedRecommender:
                 hp, np.asarray(users, np.int32), np.zeros(1, np.int32))
             docs = jnp.asarray(recs["user_doc"][:, 0])  # [U, T]
             return finish_user(user_tower(docs), users)
+
+        self._user_enc = user_enc
+
+    def _build_narre(self, hp: HyperParams, dataset, params,
+                     item_chunk: int):
+        """NARRE two-tower index (VERDICT r4 #9): per-review encode +
+        neighbor-context attention run per ENTITY at build/query time;
+        the pairwise work is the hadamard MLP head only (cites
+        models/narre.py:86-117 for the per-side structure)."""
+        from .models.layers import ScorerMLP, TextCNN
+
+        r = hp.narre_num_reviews
+        wv = jnp.asarray(params["word_vectors"])
+        ue = jnp.asarray(params["user_embedding"])
+        ie = jnp.asarray(params["item_embedding"])
+        ub = jnp.asarray(params["user_bias"])
+        ib = jnp.asarray(params["item_bias"])
+        gb = float(np.asarray(params["global_bias"])[0])
+        w0 = jnp.asarray(params["final"]["fc0"]["kernel"])      # [L, L]
+        b0 = jnp.asarray(params["final"]["fc0"]["bias"])
+        w1 = jnp.asarray(params["final"]["fc1"]["kernel"])[:, 0]
+        b1 = float(np.asarray(params["final"]["fc1"]["bias"])[0])
+        cnn = TextCNN(hp.latent_size, hp.dropout)
+        scorer = ScorerMLP(hp.latent_size, hp.dropout)
+
+        def attend(feats, ctx, att_params):
+            s = scorer.apply({"params": att_params},
+                             jnp.concatenate([feats, ctx], axis=-1),
+                             train=False)                        # [B, R]
+            att = jax.nn.softmax(s, axis=-1)
+            return jnp.sum(att[..., None] * feats, axis=1)
+
+        @jax.jit
+        def item_enc(docs, who_gave, ids):
+            b, rr, wlen = docs.shape
+            f = cnn.apply({"params": params["item_conv"]},
+                          docs.reshape(b * rr, wlen), train=False,
+                          table=wv).reshape(b, rr, -1)
+            i_att = attend(f, jnp.take(ue, who_gave, axis=0),
+                           params["att_item"])
+            return (i_att + jnp.take(ie, ids, axis=0),
+                    jnp.take(ib, ids, axis=0) + gb)
+
+        @jax.jit
+        def user_enc_dev(docs, reviewed, ids):
+            b, rr, wlen = docs.shape
+            f = cnn.apply({"params": params["user_conv"]},
+                          docs.reshape(b * rr, wlen), train=False,
+                          table=wv).reshape(b, rr, -1)
+            u_att = attend(f, jnp.take(ie, reviewed, axis=0),
+                           params["att_user"])
+            return (u_att + jnp.take(ue, ids, axis=0),
+                    jnp.take(ub, ids, axis=0))
+
+        @jax.jit
+        def score_chunk(uv, us, iv, isc):
+            hidden = jax.nn.relu((uv[:, None, :] * iv[None, :, :]) @ w0
+                                 + b0)
+            return hidden @ w1 + b1 + us[:, None] + isc[None, :]
+
+        self._score_chunk = score_chunk
+
+        vecs, scals = [], []
+        for s in range(0, len(self.items), item_chunk):
+            chunk = self.items[s:s + item_chunk]
+            recs = dataset.candidate_grid_records(
+                hp, np.zeros(1, np.int32), chunk)
+            docs = jnp.asarray(recs["item_doc"][0])        # [C, R, W]
+            who = jnp.asarray(
+                np.asarray(recs["users_who_gave"]).reshape(
+                    len(chunk), -1)[:, :r])
+            iv, isc = item_enc(docs, who, jnp.asarray(chunk))
+            vecs.append(iv)
+            scals.append(isc)
+        self.item_vec = jnp.concatenate(vecs)
+        self.item_scal = jnp.concatenate(scals)
+
+        def user_enc(users):
+            users = np.asarray(users, np.int32)
+            recs = dataset.candidate_grid_records(
+                hp, users, np.zeros(1, np.int32))
+            docs = jnp.asarray(recs["user_doc"][:, 0])     # [U, R, W]
+            reviewed = jnp.asarray(
+                np.asarray(recs["items_reviewed"]).reshape(
+                    len(users), -1)[:, :r])
+            return user_enc_dev(docs, reviewed, jnp.asarray(users))
 
         self._user_enc = user_enc
 

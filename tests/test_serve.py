@@ -179,3 +179,22 @@ def test_factorized_score_chunking_invariant(trained, dataset):
     i2, s2 = rec.topk(users, k=6, score_items=7)     # 5 chunks
     assert np.array_equal(i1, i2)
     assert np.allclose(s1, s2)
+
+
+def test_factorized_matches_grid_narre(tmp_path, dataset, hp_base):
+    """NARRE (VERDICT r4 #9): per-review encode + neighbor attention
+    are per-side, so the two-tower index with the hadamard-MLP pairwise
+    head must reproduce the joint grid scorer's top-k exactly."""
+    from reviews4rec_tpu.api import run
+    from reviews4rec_tpu.serve import FactorizedRecommender, Recommender
+
+    hp = hp_base.replace(model_type="NARRE", epochs=1,
+                         model_dir=str(tmp_path / "m"),
+                         log_dir=str(tmp_path / "l"))
+    run(hp, dataset)
+    users = np.array([1, 4, 9])
+    gi, gs = Recommender(hp, dataset, item_chunk=16).topk(users, k=5)
+    fi, fs = FactorizedRecommender(hp, dataset, item_chunk=16).topk(
+        users, k=5)
+    assert np.allclose(gs, fs, atol=1e-4)
+    assert np.array_equal(gi, fi)
