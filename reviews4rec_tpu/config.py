@@ -99,6 +99,10 @@ class HyperParams:
     mpcn_lr: float = 1e-3
     mpcn_clip_norm: float = 1.0
     mpcn_dropout_keep: float = 0.8
+    # seed MPCN's trainable word table from the shared word2vec vectors
+    # (reference --pretrained=1, MPCN/tylib/exp/experiment.py:154-177;
+    # the reviews4rec runner default leaves it off)
+    mpcn_pretrained: bool = False
     # variant space of the reference MPCN stack (runner defaults first;
     # MPCN/parser.py:122, tf_models/model.py:170-406)
     mpcn_affinity: str = "SOFT"   # SOFT | BILINEAR | TENSOR | MLP | MD

@@ -102,6 +102,7 @@ def build_model(hp: HyperParams, word_vectors=None, mesh=None):
         from .mpcn import MPCN
         return MPCN(hidden=hp.latent_size, dropout_keep=hp.mpcn_dropout_keep,
                     word_vectors=wv, num_heads=hp.mpcn_heads,
+                    pretrained_words=hp.mpcn_pretrained,
                     temperature=hp.mpcn_temperature,
                     factors=hp.mpcn_factor,
                     rating_min=hp.rating_min, rating_max=hp.rating_max,

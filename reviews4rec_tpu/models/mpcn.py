@@ -65,6 +65,11 @@ class MPCN(nn.Module):
     encoder: str = "NBOW"
     head: str = "FM"
     joint: str = "MPCN"
+    # initialize the trainable word table from the shared word2vec
+    # vectors instead of xavier (the reference's --pretrained=1 path,
+    # MPCN/tylib/exp/experiment.py:154-177; the runner leaves it off).
+    # The table stays TRAINABLE either way, as in the reference.
+    pretrained_words: bool = False
     # translate_proj mode: 'FC' (runner default) or 'HIGH' — review-level
     # highway projection, the reference's 'HP' rnn_type flag
     # (model.py:184-188 -> projection_layer use_mode='HIGH')
@@ -97,12 +102,20 @@ class MPCN(nn.Module):
 
         # Trainable word embeddings (MPCN trains its own table from
         # scratch; experiment.py loads pretrained vectors only when
-        # --pretrained=1, which reviews4rec's runner leaves off). The
-        # shared word2vec array only fixes vocab/embedding size here.
+        # --pretrained=1 — exposed here as `pretrained_words` /
+        # hp.mpcn_pretrained, which seeds the table from the shared
+        # word2vec vectors but keeps it trainable either way). With
+        # pretrained off, the shared word2vec array only fixes
+        # vocab/embedding size.
         vocab = self.word_vectors.shape[0]
         emb_size = self.word_vectors.shape[1]
-        table = self.param("word_embedding", xavier_uniform(),
-                           (vocab, emb_size))
+        if self.pretrained_words:
+            wv = self.word_vectors
+            table = self.param("word_embedding",
+                               lambda _rng: jnp.asarray(wv))
+        else:
+            table = self.param("word_embedding", xavier_uniform(),
+                               (vocab, emb_size))
 
         if self.joint == "D_ATT":
             # dual local+global attention over the flat review document

@@ -808,63 +808,78 @@ def train_complete(hp: HyperParams, model, dataset, *,
         place = make_placer(mesh)
 
         log = hp.log_file()
-        for epoch in range(start_epoch, hp.epochs + 1):
-            t0 = time.time()
-            epoch_rng = jax.random.fold_in(root_rng, epoch)
-            if use_cache:
-                state, train_metrics = train_epoch_cached(
-                    cached_step, cached_scan_step, state, train_cache,
-                    row_b, epoch_rng, scan_steps=hp.scan_steps,
-                    place=place, place_stacked=place_stacked)
-            else:
-                state, train_metrics = train_epoch(
-                    train_step, state, train_b, epoch_rng, place,
-                    scan_step=scan_step, scan_steps=hp.scan_steps,
-                    place_stacked=place_stacked)
-            if ranking:
-                rank = eval_ranking(rank_step, state.params, val_recs, hp,
-                                    batch_size=hp.batch_size, mesh=mesh)
-                # negated HR@1 so lower-is-better selection is shared
-                metrics = {"train_loss": train_metrics["MSE"], **rank,
-                           "MSE": -rank["HR@1"]}
-            elif use_cache:
-                metrics, _, _ = evaluate_cached(
-                    cached_eval_step, state.params, val_cache, val_recs,
-                    hp, dataset.user_count, dataset.item_count, mesh=mesh)
-            else:
-                metrics, _, _ = evaluate(eval_step, state.params, val_b,
-                                         hp, dataset.user_count,
-                                         dataset.item_count, mesh=mesh)
-            metrics["examples_per_s"] = train_metrics["examples_per_s"]
-            if stats is not None:
-                import statistics
-                eps_l = stats.setdefault("epoch_examples_per_s", [])
-                eps_l.append(train_metrics["examples_per_s"])
-                stats["train_examples_per_s"] = round(
-                    statistics.median(eps_l), 1)
-            log_end_epoch(log, {k: v for k, v in metrics.items()
-                                if not (ranking and k == "MSE")},
-                          epoch, time.time() - t0, quiet=quiet)
-            if metrics["MSE"] < best_mse:
-                best_mse = metrics["MSE"]
-                since_improve = 0
-                # deep copy: the live params' buffers get donated to the
-                # next epoch's first train_step
-                best_params = jax.tree_util.tree_map(jnp.copy,
-                                                     state.params)
-            else:
-                since_improve += 1
-            if checkpoint_path:
-                save_checkpoint(checkpoint_path, state.params,
-                                opt_state=state.opt_state,
-                                step=int(state.step), epoch=epoch,
-                                extra={"val_mse": best_mse,
-                                       "since_improve": since_improve},
-                                best_params=best_params)
-            if hp.early_stop and since_improve >= hp.early_stop:
-                file_write(log, f"early stop at epoch {epoch}: no val "
-                                f"improvement for {since_improve} epochs",
-                           quiet=quiet)
-                break
+        try:
+            for epoch in range(start_epoch, hp.epochs + 1):
+                t0 = time.time()
+                epoch_rng = jax.random.fold_in(root_rng, epoch)
+                if use_cache:
+                    state, train_metrics = train_epoch_cached(
+                        cached_step, cached_scan_step, state, train_cache,
+                        row_b, epoch_rng, scan_steps=hp.scan_steps,
+                        place=place, place_stacked=place_stacked)
+                else:
+                    state, train_metrics = train_epoch(
+                        train_step, state, train_b, epoch_rng, place,
+                        scan_step=scan_step, scan_steps=hp.scan_steps,
+                        place_stacked=place_stacked)
+                if ranking:
+                    rank = eval_ranking(rank_step, state.params, val_recs,
+                                        hp, batch_size=hp.batch_size,
+                                        mesh=mesh)
+                    # negated HR@1, so lower-is-better selection is shared
+                    metrics = {"train_loss": train_metrics["MSE"], **rank,
+                               "MSE": -rank["HR@1"]}
+                elif use_cache:
+                    metrics, _, _ = evaluate_cached(
+                        cached_eval_step, state.params, val_cache,
+                        val_recs, hp, dataset.user_count,
+                        dataset.item_count, mesh=mesh)
+                else:
+                    metrics, _, _ = evaluate(eval_step, state.params,
+                                             val_b, hp,
+                                             dataset.user_count,
+                                             dataset.item_count,
+                                             mesh=mesh)
+                metrics["examples_per_s"] = \
+                    train_metrics["examples_per_s"]
+                if stats is not None:
+                    import statistics
+                    eps_l = stats.setdefault("epoch_examples_per_s", [])
+                    eps_l.append(train_metrics["examples_per_s"])
+                    stats["train_examples_per_s"] = round(
+                        statistics.median(eps_l), 1)
+                log_end_epoch(log, {k: v for k, v in metrics.items()
+                                    if not (ranking and k == "MSE")},
+                              epoch, time.time() - t0, quiet=quiet)
+                if metrics["MSE"] < best_mse:
+                    best_mse = metrics["MSE"]
+                    since_improve = 0
+                    # deep copy: the live params' buffers get donated to
+                    # the next epoch's first train_step
+                    best_params = jax.tree_util.tree_map(jnp.copy,
+                                                         state.params)
+                else:
+                    since_improve += 1
+                if checkpoint_path:
+                    save_checkpoint(checkpoint_path, state.params,
+                                    opt_state=state.opt_state,
+                                    step=int(state.step), epoch=epoch,
+                                    extra={"val_mse": best_mse,
+                                           "since_improve":
+                                               since_improve},
+                                    best_params=best_params)
+                if hp.early_stop and since_improve >= hp.early_stop:
+                    file_write(log,
+                               f"early stop at epoch {epoch}: no val "
+                               f"improvement for {since_improve} epochs",
+                               quiet=quiet)
+                    break
+        except KeyboardInterrupt:
+            # reference main.py:128: Ctrl-C ends training gracefully and
+            # the run proceeds to test eval with the best-val snapshot
+            # (checkpoints make a killed run resumable regardless)
+            file_write(log, "KeyboardInterrupt: stopping training; "
+                            "returning best-validation parameters",
+                       quiet=quiet)
 
     return best_params, best_mse

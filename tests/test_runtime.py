@@ -70,3 +70,53 @@ def test_profiler_trace_smoke(tmp_path, dataset, hp_base):
             _ = jax.jit(lambda x: x * 2)(np.ones(8))
     # trace directory created with an xplane dump
     assert (tmp_path / "tb").exists()
+
+
+def test_keyboard_interrupt_returns_best_params(dataset, hp_base,
+                                                monkeypatch, tmp_path):
+    """Ctrl-C mid-training ends the run gracefully with the
+    best-validation snapshot (reference main.py:128)."""
+    from reviews4rec_tpu.models import build_model
+    from reviews4rec_tpu.train import loop as loop_mod
+    from reviews4rec_tpu.train.loop import train_complete
+
+    hp = hp_base.replace(model_type="MF_dot", epochs=5,
+                         log_dir=str(tmp_path))
+    calls = {"n": 0}
+    orig = loop_mod.train_epoch
+
+    def interrupting(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt
+        return orig(*a, **k)
+
+    monkeypatch.setattr(loop_mod, "train_epoch", interrupting)
+    params, best = train_complete(hp, build_model(hp), dataset)
+    assert calls["n"] == 3            # interrupted on epoch 3 of 5
+    assert np.isfinite(best)          # epochs 1-2 validated fine
+    assert params is not None
+
+
+def test_mpcn_pretrained_words_seed_table(dataset, hp_base):
+    """hp.mpcn_pretrained seeds MPCN's trainable word table from the
+    shared word2vec vectors (reference --pretrained=1)."""
+    import jax
+    from reviews4rec_tpu.data.batcher import Batcher
+    from reviews4rec_tpu.models import build_model
+
+    hp = hp_base.replace(model_type="MPCN", mpcn_pretrained=True)
+    model = build_model(hp, dataset.word_vectors)
+    sample = next(iter(Batcher(dataset.materialize(hp, "train"), 8)))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng,
+                         "gumbel": rng}, sample, train=False)["params"]
+    assert np.array_equal(np.asarray(params["word_embedding"]),
+                          dataset.word_vectors)
+
+    hp2 = hp.replace(mpcn_pretrained=False)
+    model2 = build_model(hp2, dataset.word_vectors)
+    params2 = model2.init({"params": rng, "dropout": rng,
+                           "gumbel": rng}, sample, train=False)["params"]
+    assert not np.array_equal(np.asarray(params2["word_embedding"]),
+                              dataset.word_vectors)
