@@ -123,10 +123,14 @@ def setup_sgd_model(ds, model_type: str, use_pallas: bool = False,
 
 
 def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
-                       batch: int = BATCH, scan: int = 1):
+                       batch: int = BATCH, scan: int = 1,
+                       entity: bool = False):
     """hp.cache_doc_embeds path: doc embeddings pre-computed into device
     arrays, the step gathers [B] cached rows by index — no per-step word
-    gather, no host batch transfer."""
+    gather, no host batch transfer. `entity=True` uses the ENTITY cache
+    (canonical per-entity doc tables + in-kernel leakage mask,
+    hp.cache_entity) — the step adds the second-level doc gather and the
+    span mask."""
     import jax
     import jax.numpy as jnp
 
@@ -135,6 +139,7 @@ def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
     from reviews4rec_tpu.models import build_model
     from reviews4rec_tpu.train.evaluate import make_apply_fn
     from reviews4rec_tpu.train.loop import (TrainState, build_doc_cache,
+                                            build_entity_cache,
                                             cache_dtype_for,
                                             doc_cache_keys,
                                             make_cached_train_step,
@@ -144,14 +149,24 @@ def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
     hp = HyperParams(model_type=model_type, batch_size=batch,
                      input_length=INPUT_LEN, latent_size=LATENT,
                      use_pallas=use_pallas, cache_doc_embeds=True,
-                     scan_steps=scan)
+                     cache_entity=entity, scan_steps=scan)
     hp = ds.apply_to(hp)
     model = build_model(hp, ds.word_vectors)
     recs = ds.materialize(hp, "train")
     embed_keys, id_keys = doc_cache_keys(hp.model_type)
-    cache = build_doc_cache(recs, ds.word_vectors, cache_dtype_for(hp),
-                            paired_window=paired_window_for(hp),
-                            keys=embed_keys, id_keys=id_keys)
+    if entity:
+        ent_recs = ds.materialize_entity(hp, "train")
+        (udocs, _), (idocs, _) = ds._entity_spans(hp.input_length)
+        cache = build_entity_cache(
+            ent_recs, {"user_doc": udocs, "item_doc": idocs},
+            ds.word_vectors, cache_dtype_for(hp),
+            paired_window=paired_window_for(hp), keys=embed_keys,
+            id_keys=id_keys)
+    else:
+        cache = build_doc_cache(recs, ds.word_vectors,
+                                cache_dtype_for(hp),
+                                paired_window=paired_window_for(hp),
+                                keys=embed_keys, id_keys=id_keys)
     n = int(next(iter(recs.values())).shape[0])
     rows = jnp.asarray(np.arange(batch) % n, jnp.int32)
     weight = jnp.ones((batch,), jnp.float32)
@@ -373,6 +388,46 @@ def time_recommend_factorized(catalog: int = 10_000, n_users: int = 32
     return n_users * reps / dt, build_s
 
 
+def time_product_path(model_type: str = "deepconn++",
+                      epochs: int = 8) -> dict:
+    """PRODUCT-path training throughput (VERDICT r4 #1): the real
+    `train_complete` epoch loop — host row batcher + shuffle + scan
+    grouping + per-epoch val eval — on the committed realistic e2e
+    corpus (100k interactions; falls back to a large synthetic one),
+    with the full perf stack (pallas + ENTITY doc cache + scan10).
+    Reports the steady-state median over post-warmup epochs; the
+    BASELINE.md north-star metric is THIS number, not the resident-batch
+    compute rows above (BENCH_r04's headline overstated the product
+    path 4.8x — this row keeps the distinction explicit)."""
+    import statistics
+
+    from reviews4rec_tpu.config import HyperParams
+    from reviews4rec_tpu.data.corpus import ReviewDataset
+    from reviews4rec_tpu.models import build_model
+    from reviews4rec_tpu.train.loop import train_complete
+
+    try:
+        ds = ReviewDataset.load("data/e2e/5_core")
+        corpus = "e2e-100k"
+    except Exception:
+        from reviews4rec_tpu.data.synthetic import make_synthetic
+        ds = make_synthetic(num_users=1500, num_items=1000, vocab=8000,
+                            interactions_per_user=(20, 40), seed=0)
+        corpus = "synthetic-45k"
+    hp = ds.apply_to(HyperParams(
+        model_type=model_type, batch_size=BATCH, input_length=INPUT_LEN,
+        latent_size=LATENT, use_pallas=True, scan_steps=10,
+        cache_doc_embeds=True, cache_entity=True, epochs=epochs,
+        save_model=False))
+    stats = {}
+    train_complete(hp, build_model(hp, ds.word_vectors), ds,
+                   stats=stats)
+    eps = stats["epoch_examples_per_s"]
+    return {"examples_per_s": round(statistics.median(eps[2:]), 1),
+            "epoch_examples_per_s": eps, "corpus": corpus,
+            "n_train": len(ds.splits["train"])}
+
+
 def bench_torch_baseline() -> float:
     """Reference-style torch implementation of the flagship on CPU
     (reference DeepCoNN.py semantics), forward+backward+Adam."""
@@ -483,7 +538,10 @@ def main():
         table.insert(7, ("deepconn+pallas+cache+scan10",
                          {"model_type": "deepconn", "use_pallas": True,
                           "cache": True, "scan": 10}))
-        table.insert(8, ("deepconn+pallas+fusedgather",
+        table.insert(8, ("deepconn+pallas+entity+scan10",
+                         {"model_type": "deepconn", "use_pallas": True,
+                          "cache": True, "entity": True, "scan": 10}))
+        table.insert(9, ("deepconn+pallas+fusedgather",
                          {"model_type": "deepconn", "use_pallas": True,
                           "fuse_gather": True}))
 
@@ -496,12 +554,13 @@ def main():
                              fuse_gather=kw.get("fuse_gather", False),
                              scan=kw.get("scan", 1),
                              cache=kw.get("cache", False),
+                             entity=kw.get("entity", False),
                              batch=BATCH)
     sweep_cfgs = {}
     for bsz in (128, 512):
         sweep_cfgs[f"deepconn@B{bsz}"] = dict(
             model_type="deepconn", use_pallas=False, fuse_gather=False,
-            scan=1, cache=False, batch=bsz)
+            scan=1, cache=False, entity=False, batch=bsz)
 
     runs, batches = {}, {}
     for name, cfg in {**configs, **sweep_cfgs}.items():
@@ -509,7 +568,7 @@ def main():
             if cfg["cache"]:
                 runs[name] = setup_cached_model(
                     ds, cfg["model_type"], cfg["use_pallas"],
-                    cfg["batch"], cfg["scan"])
+                    cfg["batch"], cfg["scan"], cfg["entity"])
             else:
                 runs[name] = setup_sgd_model(ds, cfg["model_type"],
                                              cfg["use_pallas"],
@@ -556,6 +615,20 @@ def main():
     except Exception as exc:
         rows["HFT"] = None
         log(f"{'HFT':28s} FAILED: {exc}")
+
+    product = {}
+    if on_tpu:
+        for mt in ("deepconn++", "deepconn"):
+            try:
+                product[mt] = time_product_path(mt)
+                log(f"{'product:' + mt:28s} "
+                    f"{product[mt]['examples_per_s']:12,.0f} examples/s "
+                    f"(REAL train_complete loop on "
+                    f"{product[mt]['corpus']}, median of post-warmup "
+                    f"epochs)")
+            except Exception as exc:
+                product[mt] = None
+                log(f"{'product:' + mt:28s} FAILED: {exc}")
 
     if on_tpu:
         try:
@@ -627,9 +700,12 @@ def main():
         f"{gbps} GB/s vs ~820 GB/s v5e peak. Attribution "
         f"(examples/ROOFLINE.md): the cached-row gather runs AT the HBM "
         f"roofline; the binding constraint is the paired kernel's "
-        f"padded MXU matmul (~1.7x FLOP overhead buys the 9x-faster "
-        f"DMA layout), so the MFU number counts MINIMAL conv FLOPs "
-        f"while the kernel executes ~1.7x that")
+        f"padded MXU matmul. The MFU number counts MINIMAL conv FLOPs "
+        f"while the kernel executes ~1.7x that — and the r5 phase-split "
+        f"A/B showed that overhead is the MXU's 128-lane K/N tile "
+        f"granularity (a 0.75x-MACs variant executes the same "
+        f"tile-passes and measures SLOWER), i.e. the padded floor is "
+        f"tight, not recoverable headroom")
     if rows.get("deepconn") and rows.get("deepconn+pallas"):
         log(f"pallas speedup over XLA: "
             f"{rows['deepconn+pallas']/rows['deepconn']:.2f}x")
@@ -655,6 +731,12 @@ def main():
         "noise_pct": noise_pct,
         "dispatch_latency_share_pct": dispatch_share,
         "models": rows,
+        # PRODUCT-path rows: the real train_complete epoch loop on the
+        # realistic corpus (host batcher + shuffle + val eval included
+        # in wall time; throughput counts train-loop time). The compute
+        # headline above is a resident-batch kernel benchmark; THIS is
+        # the BASELINE.md training-throughput number.
+        "product_path": product,
         "spreads_pct": {k: round(v * 100.0, 1)
                         for k, v in spread.items() if k in rows},
         "batch_sweep": {str(k): v for k, v in sorted(sweep.items())},
