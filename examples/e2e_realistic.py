@@ -254,27 +254,29 @@ def main():
     prep_s = state.get("prep_s", 0.0)
 
     results = state.setdefault("results", {})
-    for mt in args.models.split(","):
+    for mt in [m for m in args.models.split(",") if m]:
         t0 = time.time()
         extra = []
-        if mt == "deepconn++":
-            # the TPU perf path: Pallas kernels + device doc cache +
-            # scan-over-microbatches. The FULL [N,T,E] cache of both doc
-            # sides is ~20 GB for this corpus (exceeds one v5e's 16 GB
-            # HBM), so the item side is cached as floats and the user
-            # side as raw device ids (hp.cache_sides) — bitwise
-            # identical, ~10 GB. Text features develop slowly under the
-            # reference's dropout-0.6 protocol: give the run epoch room
-            # (each epoch is <1 s on this path anyway).
+        if mt in ("deepconn++", "deepconn"):
+            # the TPU perf path: Pallas kernels + ENTITY doc cache
+            # (canonical per-entity docs, ~0.5 GB for BOTH float sides
+            # of this corpus, with the in-kernel leakage mask) +
+            # scan-over-microbatches. Text features develop slowly under
+            # the reference's dropout-0.6 protocol: give the run epoch
+            # room (each epoch is <1 s on this path anyway).
             extra = ["--epochs", "60", "--early_stop", "5",
                      "--use_pallas", "true", "--scan_steps", "10",
                      "--cache_doc_embeds", "true",
-                     "--cache_sides", "item"]
-        elif mt == "deepconn":
-            # FM head; pallas + scan (the cache OOMed once for this
-            # variant on the shared chip — keep the uncached perf path)
-            extra = ["--epochs", "60", "--early_stop", "5",
-                     "--use_pallas", "true", "--scan_steps", "10"]
+                     "--cache_entity", "true"]
+        elif mt == "NeuMF":
+            # 3-phase pretrain (GMF -> MLP -> warm-started fusion)
+            extra = ["--epochs", "30", "--early_stop", "5",
+                     "--scan_steps", "10"]
+        elif mt == "transnet":
+            extra = ["--epochs", "40", "--early_stop", "5",
+                     "--batch_size", "128"]
+        elif mt in ("SVD", "SVD++", "NMF", "kNN", "baseline"):
+            extra = []  # surprise-parity defaults (models/neighbors.py)
         elif mt == "NARRE":
             extra = ["--epochs", "60", "--early_stop", "5"]
         elif mt == "transnet++":
@@ -330,11 +332,30 @@ def main():
                 f"epochs.\n\n")
         f.write("| model | MSE | HR@1 | HR@10 | NDCG@10 | train ex/s "
                 "| wall |\n|---|---|---|---|---|---|---|\n")
+        degenerate = []
         for mt, m in results.items():
-            f.write(f"| {mt} | {m.get('MSE')} | {m.get('HR@1')} | "
+            # all-ties degeneracy: a constant predictor ranks the
+            # positive first under the argmax-parity tie convention
+            # (rank = #strictly-higher) — flag it rather than letting a
+            # collapsed model print perfect retrieval
+            degen = (m.get("HR@1") == 100.0 and m.get("HR@10") == 100.0)
+            if degen:
+                degenerate.append(mt)
+            f.write(f"| {mt}{' *' if degen else ''} | {m.get('MSE')} | "
+                    f"{m.get('HR@1')} | "
                     f"{m.get('HR@10')} | {m.get('NDCG@10')} | "
                     f"{m.get('train_examples_per_s', '—')} | "
                     f"{m.get('wall_s')}s |\n")
+        if degenerate:
+            f.write(f"\n\\* {', '.join(degenerate)}: CONSTANT-prediction "
+                    f"collapse (prediction std ~ 0; plain transnet has "
+                    f"no id embeddings and its source towers learn no "
+                    f"per-pair signal here — the architecture gap "
+                    f"transnet++ exists to close). All candidates tie, "
+                    f"and the torch-argmax tie convention (positive is "
+                    f"index 0) scores a tie as a hit — the reference "
+                    f"protocol would print the same 100; read the MSE "
+                    f"column for this row, not HR.\n")
         f.write("\nSanity anchors: bias_only is the offset+bias "
                 "staircase step (HFT prints the same anchors at init, "
                 "reference HFT/language.hpp:129-145); richer models are "
