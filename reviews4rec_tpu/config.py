@@ -218,6 +218,13 @@ class HyperParams:
     # stay out. Eval splits remove nothing, so eval metrics are
     # IDENTICAL to every other path (tested).
     cache_entity: bool = False
+    # With cache_entity + use_pallas: fold the per-batch doc-row gather
+    # into the Pallas kernels' DMA (ops/textcnn_pallas.py
+    # textcnn_pool_rows — scalar-prefetched row ids, per-row
+    # double-buffered HBM->VMEM copies). The gathered [B, L2, 2E] HBM
+    # copy the take()-path writes (and both kernels re-read) never
+    # exists. Bitwise-identical (tested); A/B measured in bench.py.
+    pallas_fuse_rows: bool = False
     # shard the review-doc time axis of every TextCNN over the model
     # axis (ppermute halo exchange, parallel/sequence.py) — the scaling
     # path for input_length beyond one chip's HBM; requires

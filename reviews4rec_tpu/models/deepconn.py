@@ -37,12 +37,24 @@ class DeepCoNN(nn.Module):
         # tensors are [B, C]; the user tower runs once per row and its
         # features broadcast across candidates
         lead = batch["item"].shape
-        # docs are int token ids [..., T], or pre-embedded float
-        # [..., T, E] from the device cache (hp.cache_doc_embeds)
-        u_lead, u_tail = doc_shape(batch["user_doc"], 1)
-        _, i_tail = doc_shape(batch["item_doc"], 1)
-        udoc = batch["user_doc"].reshape((-1,) + u_tail)
-        idoc = batch["item_doc"].reshape((-1,) + i_tail)
+        # docs are int token ids [..., T], pre-embedded float
+        # [..., T, E] from the device cache (hp.cache_doc_embeds), or —
+        # under hp.pallas_fuse_rows — the WHOLE per-entity doc table
+        # ('<side>__table' keys) read by entity id inside the kernels
+        u_rows = i_rows = None
+        if "user_doc__table" in batch:
+            udoc = batch["user_doc__table"]
+            u_rows = batch["user"].reshape(-1)
+            u_lead = lead
+        else:
+            u_lead, u_tail = doc_shape(batch["user_doc"], 1)
+            udoc = batch["user_doc"].reshape((-1,) + u_tail)
+        if "item_doc__table" in batch:
+            idoc = batch["item_doc__table"]
+            i_rows = batch["item"].reshape(-1)
+        else:
+            _, i_tail = doc_shape(batch["item_doc"], 1)
+            idoc = batch["item_doc"].reshape((-1,) + i_tail)
 
         cnn = dict(use_pallas=self.use_pallas,
                    pallas_interpret=self.pallas_interpret,
@@ -61,9 +73,11 @@ class DeepCoNN(nn.Module):
             i_skip = i_skip.reshape(-1, 2)
         wv = frozen_word_table(self, self.word_vectors)
         u = TextCNN(self.latent_size, self.dropout, name="user_conv",
-                    **cnn)(udoc, train=train, table=wv, skip=u_skip)
+                    **cnn)(udoc, train=train, table=wv, skip=u_skip,
+                           rows=u_rows)
         i = TextCNN(self.latent_size, self.dropout, name="item_conv",
-                    **cnn)(idoc, train=train, table=wv, skip=i_skip)
+                    **cnn)(idoc, train=train, table=wv, skip=i_skip,
+                           rows=i_rows)
         if u_lead != lead:
             u = jnp.broadcast_to(u.reshape(u_lead + u.shape[-1:]),
                                  lead + u.shape[-1:]) \

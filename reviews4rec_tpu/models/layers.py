@@ -85,7 +85,8 @@ class TextCNN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  table: Optional[jnp.ndarray] = None,
-                 skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 skip: Optional[jnp.ndarray] = None,
+                 rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         # x: [B, T, E] embedded words, or int [B, T] token ids plus a
         # `table` [V, E] to embed with (the fused-gather path). A FLOAT
         # x alongside a table is a pre-embedded doc from the device
@@ -99,11 +100,20 @@ class TextCNN(nn.Module):
         # pair's own review zeroed in place. Applied in-kernel on the
         # prepaired Pallas path, at value level elsewhere (XLA fuses
         # the select into the adjacent relayout/conv).
+        #
+        # `rows` ([B] int32 or None): x is then the WHOLE per-entity doc
+        # table and each example reads row `rows[b]`
+        # (hp.pallas_fuse_rows) — the prepaired Pallas path gathers the
+        # rows inside the kernels' DMA (textcnn_pool_rows); other paths
+        # fall back to an explicit take (bitwise identical).
         w = self.window
         pre_embedded = (table is not None
                         and jnp.issubdtype(x.dtype, jnp.floating))
         prepaired = (pre_embedded and self.prepaired_t > 0
                      and self.use_pallas and self.seq_mesh is None)
+        if rows is not None and not (prepaired and x.ndim == 3):
+            x = jnp.take(x, rows, axis=0)
+            rows = None
         frozen_input = table is not None
         # the fused-gather kernel has no mask input: with a skip span,
         # embed via take() and mask at value level instead
@@ -125,7 +135,14 @@ class TextCNN(nn.Module):
                             (w * e, self.num_filters))
         bias = self.param("conv_bias", nn.initializers.zeros,
                           (self.num_filters,))
-        if prepaired:
+        if prepaired and rows is not None:
+            from ..ops.textcnn_pallas import textcnn_pool_rows
+            dot_dtype = jnp.float32 if self.pallas_interpret \
+                else jnp.bfloat16
+            y = textcnn_pool_rows(x, rows, kernel, bias,
+                                  self.prepaired_t, w,
+                                  self.pallas_interpret, dot_dtype, skip)
+        elif prepaired:
             from ..ops.textcnn_pallas import textcnn_pool_paired
             dot_dtype = jnp.float32 if self.pallas_interpret \
                 else jnp.bfloat16

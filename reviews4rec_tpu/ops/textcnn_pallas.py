@@ -890,3 +890,338 @@ def _bwd_prepaired(t, window, interpret, dot_dtype, res, g):
 
 
 textcnn_pool_paired.defvjp(_fwd_prepaired, _bwd_prepaired)
+
+
+# ---------------------------------------------------------------------
+# Row-gather fused INTO the kernel DMA (the r4 roofline's remaining
+# memory lever): with the entity/doc cache, each batch row's prepaired
+# operand lives at table[row] in HBM. The take()-based path writes the
+# gathered [B, L2, 2E] copy to HBM and the kernels read it back (and
+# the backward reads it again); here the kernels DMA the scattered rows
+# HBM->VMEM directly — per grid step, b_tile per-row async copies,
+# double-buffered across the chunk axis — so the gather copy never
+# exists and each direction reads each byte once.
+# ---------------------------------------------------------------------
+
+def _rowgather_pipeline(table_ref, rows_ref, xbuf, sems, b_tile, tp,
+                        n_c, body):
+    """Shared manual-DMA pipeline: iterate the (i-fixed) chunk axis via
+    the grid, with block (i, c) = table[rows[i*b_tile + j], c*tp:(c+1)*tp]
+    for j < b_tile, fetched into xbuf slot (i*n_c + c) % 2 one chunk
+    ahead. `body(x)` consumes the current [b_tile, tp, 2E] block."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_i = pl.num_programs(0)
+    flat = i * n_c + c
+
+    def dma(slot, ii, cc, j):
+        return pltpu.make_async_copy(
+            table_ref.at[rows_ref[ii * b_tile + j],
+                         pl.ds(cc * tp, tp), :],
+            xbuf.at[slot, j], sems.at[slot, j])
+
+    def start_all(slot, ii, cc):
+        for j in range(b_tile):
+            dma(slot, ii, cc, j).start()
+
+    @pl.when(flat == 0)
+    def _warm():
+        start_all(0, 0, 0)
+
+    # prefetch the NEXT grid step's rows while this one computes
+    nxt = flat + 1
+    ni = nxt // n_c
+    nc = nxt % n_c
+
+    @pl.when(nxt < n_i * n_c)
+    def _ahead():
+        start_all(nxt % 2, ni, nc)
+
+    for j in range(b_tile):
+        dma(flat % 2, i, c, j).wait()
+    body(xbuf[flat % 2])
+
+
+def _gathered_paired_kernel(rows_ref, table_ref, g_ref, b_ref, skip_ref,
+                            out_ref, idx_ref, xbuf, sems, carry_ref,
+                            zw_ref, acc_ref, iacc_ref, *, t_out: int,
+                            tp: int, n_c: int, dot_dtype, masked: bool,
+                            halo: int):
+    """`_paired_kernel` with the row gather fused into its DMA."""
+    c = pl.program_id(1)
+    neg = jnp.float32(-3.0e38)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:] = jnp.full_like(acc_ref, neg)
+        iacc_ref[:] = jnp.zeros_like(iacc_ref)
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    def body(x):
+        if masked:
+            x = _input_mask(x, skip_ref, c, tp, halo)
+        bt, _, lanes = x.shape
+        f2 = g_ref.shape[1]
+        f_pad = f2 // 2
+        cr = carry_ref.shape[1]
+        z = jnp.concatenate([carry_ref[:][:, cr - 1:, :], x], axis=1)
+        carry_ref[:] = x[:, tp - cr:, :]
+        zw_ref[:, :, :lanes] = z[:, :tp, :]
+        zw_ref[:, :, lanes:] = z[:, 1:tp + 1, :]
+        y = jax.lax.dot_general(
+            zw_ref[:].reshape(bt * tp, 2 * lanes), g_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(bt, tp, f2)
+        for phase in (0, 1):
+            yp = jnp.maximum(
+                y[:, :, phase * f_pad:(phase + 1) * f_pad] + b_ref[:],
+                0.0)
+            tpos = (2 * (c * tp - 1) + phase
+                    + 2 * jax.lax.broadcasted_iota(jnp.int32,
+                                                   (bt, tp, 1), 1))
+            yp = jnp.where((tpos >= 0) & (tpos < t_out), yp, neg)
+            tile_max = jnp.max(yp, axis=1)
+            pos = jnp.where(yp == tile_max[:, None, :], tpos,
+                            jnp.int32(1 << 30))
+            tile_arg = jnp.min(pos, axis=1)
+            better = tile_max > acc_ref[:]
+            iacc_ref[:] = jnp.where(better, tile_arg, iacc_ref[:])
+            acc_ref[:] = jnp.where(better, tile_max, acc_ref[:])
+
+    b_tile = out_ref.shape[0]
+    _rowgather_pipeline(table_ref, rows_ref, xbuf, sems, b_tile, tp,
+                        n_c, body)
+
+    @pl.when(c == n_c - 1)
+    def _emit():
+        out_ref[:] = acc_ref[:]
+        idx_ref[:] = iacc_ref[:]
+
+
+def _gathered_bwd_dg_kernel(rows_ref, table_ref, g_ref, i_ref, skip_ref,
+                            dg_ref, xbuf, sems, carry_ref, zw_ref,
+                            gm_ref, dgacc_ref, *, tp: int, n_c: int,
+                            dot_dtype, masked: bool, halo: int):
+    """`_paired_bwd_dg_kernel` with the row gather fused into its DMA."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_i = pl.num_programs(0)
+
+    @pl.when(jnp.logical_and(i == 0, c == 0))
+    def _init_dg():
+        dgacc_ref[:] = jnp.zeros_like(dgacc_ref)
+
+    @pl.when(c == 0)
+    def _init_row():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    def body(x):
+        if masked:
+            x = _input_mask(x, skip_ref, c, tp, halo)
+        bt, _, lanes = x.shape
+        f_pad = g_ref.shape[1]
+        cr = carry_ref.shape[1]
+        z = jnp.concatenate([carry_ref[:][:, cr - 1:, :], x], axis=1)
+        carry_ref[:] = x[:, tp - cr:, :]
+        zw_ref[:, :, :lanes] = z[:, :tp, :]
+        zw_ref[:, :, lanes:] = z[:, 1:tp + 1, :]
+        gv = g_ref[:]
+        iv = i_ref[:]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bt, tp, 1), 1)
+        pos_e = 2 * (c * tp - 1 + rows)
+        gm_ref[:, :, :f_pad] = jnp.where(
+            pos_e == iv[:, None, :], gv[:, None, :],
+            0.0).astype(dot_dtype)
+        gm_ref[:, :, f_pad:] = jnp.where(
+            pos_e + 1 == iv[:, None, :], gv[:, None, :],
+            0.0).astype(dot_dtype)
+        dgacc_ref[:] = dgacc_ref[:] + jax.lax.dot_general(
+            zw_ref[:].reshape(bt * tp, 2 * lanes),
+            gm_ref[:].reshape(bt * tp, 2 * f_pad),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    b_tile = g_ref.shape[0]
+    _rowgather_pipeline(table_ref, rows_ref, xbuf, sems, b_tile, tp,
+                        n_c, body)
+
+    @pl.when(jnp.logical_and(i == n_i - 1, c == n_c - 1))
+    def _emit():
+        dg_ref[:] = dgacc_ref[:]
+
+
+def _gathered_call(table, rows, kernel, bias, b, window, t_out, b_tile,
+                   tp, interpret, dot_dtype, skip):
+    e = table.shape[2] // 2
+    f = kernel.shape[1]
+    f_pad = max(-(-f // 128) * 128, 128)
+    bt_pad = -(-b // b_tile) * b_tile
+    n_chunks = table.shape[1] // tp
+    carry_rows = 8
+    masked = skip is not None
+
+    g = _build_g(kernel, window, e, f_pad).astype(dot_dtype)
+    bp = jnp.pad(bias.reshape(1, f), ((0, 0), (0, f_pad - f)))
+    rp = jnp.pad(rows.astype(jnp.int32), (0, bt_pad - b))
+    sk = (jnp.zeros((bt_pad, 2), jnp.int32) if skip is None
+          else jnp.pad(skip.astype(jnp.int32),
+                       ((0, bt_pad - skip.shape[0]), (0, 0))))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bt_pad // b_tile, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),        # table in HBM
+            pl.BlockSpec((4 * e, 2 * f_pad), lambda i, c, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_pad), lambda i, c, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 2), lambda i, c, r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_tile, f_pad), lambda i, c, r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, f_pad), lambda i, c, r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, b_tile, tp, 2 * e), dot_dtype),   # DMA slots
+            pltpu.SemaphoreType.DMA((2, b_tile)),
+            pltpu.VMEM((b_tile, carry_rows, 2 * e), dot_dtype),
+            pltpu.VMEM((b_tile, tp, 4 * e), dot_dtype),      # staged taps
+            pltpu.VMEM((b_tile, f_pad), jnp.float32),        # max acc
+            pltpu.VMEM((b_tile, f_pad), jnp.int32),          # argmax acc
+        ],
+    )
+    out, idx = pl.pallas_call(
+        functools.partial(_gathered_paired_kernel, t_out=t_out, tp=tp,
+                          n_c=n_chunks, dot_dtype=dot_dtype,
+                          masked=masked, halo=window - 1),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bt_pad, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, f_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rp, table, g, bp, sk)
+    return out[:b, :f], idx[:b, :f]
+
+
+def _gathered_dg(table, rows, kernel, g, idx, window, interpret,
+                 dot_dtype, skip):
+    e = table.shape[2] // 2
+    f = kernel.shape[1]
+    b = g.shape[0]
+    f_pad = max(-(-f // 128) * 128, 128)
+    b_tile = min(b, 32)
+    bt_pad = -(-b // b_tile) * b_tile
+    tp = 64
+    n_chunks = table.shape[1] // tp           # L2 pair rows / tp
+    carry_rows = 8
+
+    gp = jnp.pad(g, ((0, bt_pad - b), (0, f_pad - f)))
+    ip = jnp.pad(idx, ((0, bt_pad - b), (0, f_pad - f)),
+                 constant_values=-1)
+    rp = jnp.pad(rows.astype(jnp.int32), (0, bt_pad - b))
+    sk = (jnp.zeros((bt_pad, 2), jnp.int32) if skip is None
+          else jnp.pad(skip.astype(jnp.int32),
+                       ((0, bt_pad - skip.shape[0]), (0, 0))))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bt_pad // b_tile, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((b_tile, f_pad), lambda i, c, r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, f_pad), lambda i, c, r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 2), lambda i, c, r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4 * e, 2 * f_pad),
+                               lambda i, c, r: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, b_tile, tp, 2 * e), dot_dtype),
+            pltpu.SemaphoreType.DMA((2, b_tile)),
+            pltpu.VMEM((b_tile, carry_rows, 2 * e), dot_dtype),
+            pltpu.VMEM((b_tile, tp, 4 * e), dot_dtype),
+            pltpu.VMEM((b_tile, tp, 2 * f_pad), dot_dtype),
+            pltpu.VMEM((4 * e, 2 * f_pad), jnp.float32),
+        ],
+    )
+    dg = pl.pallas_call(
+        functools.partial(_gathered_bwd_dg_kernel, tp=tp, n_c=n_chunks,
+                          dot_dtype=dot_dtype, masked=skip is not None,
+                          halo=window - 1),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4 * e, 2 * f_pad), jnp.float32),
+        interpret=interpret,
+    )(rp, table, gp, ip, sk)
+
+    dg4 = dg.reshape(2, 2, e, 2, f_pad)
+    dkernel = jnp.zeros((window * e, f), dg.dtype)
+    for d in (0, 1):
+        for h in (0, 1):
+            for phase in (0, 1):
+                w = 2 * d + h - phase
+                if 0 <= w < window:
+                    dkernel = dkernel.at[w * e:(w + 1) * e, :].add(
+                        dg4[d, h, :, phase, :f])
+    return dkernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def textcnn_pool_rows(table, rows, kernel, bias, t: int,
+                      window: int = 3, interpret: bool = False,
+                      dot_dtype=jnp.float32, skip=None):
+    """`textcnn_pool_paired` with the batch-row gather fused into the
+    kernels' DMA: `table` is the FULL prepaired doc store
+    ([N, L2, 2E], `paired_operand` layout, resident in HBM) and `rows`
+    [B] selects each example's doc. The gathered [B, L2, 2E] copy that
+    the take()-based path writes to HBM (and both kernels re-read)
+    never exists — forward and backward each DMA the scattered rows
+    HBM->VMEM exactly once, per-row async copies double-buffered across
+    the chunk axis. The table comes from the frozen word table, so the
+    backward is dG-only. `skip` masks per-example word spans as in
+    `textcnn_pool_paired`."""
+    out, _ = _forward_rows(table, rows, kernel, bias, t, window,
+                           interpret, dot_dtype, skip)
+    return out
+
+
+def _forward_rows(table, rows, kernel, bias, t, window, interpret,
+                  dot_dtype, skip=None):
+    b = rows.shape[0]
+    halo, t_out, b_tile, tp, bt_pad, n_chunks, l_pad = \
+        _paired_geometry(b, t, window)
+    assert 2 * table.shape[1] == l_pad, (table.shape, l_pad)
+    return _gathered_call(table.astype(dot_dtype), rows, kernel, bias,
+                          b, window, t_out, b_tile, tp, interpret,
+                          dot_dtype, skip)
+
+
+def _fwd_rows(table, rows, kernel, bias, t, window, interpret,
+              dot_dtype, skip=None):
+    out, idx = _forward_rows(table, rows, kernel, bias, t, window,
+                             interpret, dot_dtype, skip)
+    return out, (table, rows, kernel, skip, out, idx)
+
+
+def _bwd_rows(t, window, interpret, dot_dtype, res, g):
+    import numpy as np
+
+    table, rows, kernel, skip, out, idx = res
+    g = jnp.where(out > 0, g, 0.0)
+    dkernel = _gathered_dg(table.astype(dot_dtype), rows, kernel, g,
+                           idx, window, interpret, dot_dtype, skip)
+    dskip = (None if skip is None
+             else np.zeros(skip.shape, dtype=jax.dtypes.float0))
+    drows = np.zeros(rows.shape, dtype=jax.dtypes.float0)
+    return (jnp.zeros_like(table), drows, dkernel, jnp.sum(g, axis=0),
+            dskip)
+
+
+textcnn_pool_rows.defvjp(_fwd_rows, _bwd_rows)

@@ -327,12 +327,18 @@ def gather_cached_batch(cache, rows, weight) -> Dict:
     """In-jit batch assembly shared by the cached train and eval steps:
     gather [B] example rows; with an EntityCache additionally gather
     each doc side's canonical row by the example's entity id (a second
-    bandwidth-trivial whole-row gather)."""
+    bandwidth-trivial whole-row gather). Tables stored under a
+    `<doc>__table` key (hp.pallas_fuse_rows) are passed through WHOLE —
+    the model's fused kernels gather rows inside their own DMA."""
     if isinstance(cache, EntityCache):
         batch = {k: jnp.take(v, rows, axis=0)
                  for k, v in cache.example.items()}
         for dk, table in cache.tables.items():
-            batch[dk] = jnp.take(table, batch[ENTITY_ID_KEY[dk]], axis=0)
+            if dk.endswith("__table"):
+                batch[dk] = table
+            else:
+                batch[dk] = jnp.take(table, batch[ENTITY_ID_KEY[dk]],
+                                     axis=0)
     else:
         batch = {k: jnp.take(v, rows, axis=0) for k, v in cache.items()}
     batch["weight"] = weight
@@ -342,15 +348,22 @@ def gather_cached_batch(cache, rows, weight) -> Dict:
 def build_entity_cache(records: Dict, entity_docs: Dict, word_vectors,
                        dtype, paired_window: Optional[int] = None,
                        keys: Tuple[str, ...] = (),
-                       id_keys: Tuple[str, ...] = ()) -> EntityCache:
+                       id_keys: Tuple[str, ...] = (),
+                       fuse_rows: bool = False) -> EntityCache:
     """EntityCache from per-example `records` (materialize_entity) and
     canonical `entity_docs` ({"user_doc": [U, T], "item_doc": [I, T]}
     int32). Doc tables embed/pair exactly like the per-example cache
     (`build_doc_cache` machinery, so cached bytes are bitwise the same
-    function of the docs)."""
+    function of the docs). `fuse_rows` stores the float tables under
+    `<doc>__table` keys so the batch carries the WHOLE table and the
+    models' fused kernels gather rows in their own DMA
+    (hp.pallas_fuse_rows)."""
     tables = build_doc_cache(entity_docs, word_vectors, dtype,
                              paired_window=paired_window, keys=keys,
                              id_keys=id_keys)
+    if fuse_rows:
+        tables = {(k + "__table" if k in keys else k): v
+                  for k, v in tables.items()}
     example = {k: jnp.asarray(np.asarray(v)) for k, v in records.items()}
     return EntityCache(example=example, tables=tables)
 
@@ -694,7 +707,8 @@ def train_complete(hp: HyperParams, model, dataset, *,
             train_cache = build_entity_cache(
                 train_recs, entity_docs, dataset.word_vectors,
                 cache_dtype_for(hp), paired_window=pw, keys=ck,
-                id_keys=idk)
+                id_keys=idk,
+                fuse_rows=hp.pallas_fuse_rows and pw is not None)
             # val shares the SAME doc tables (eval removes nothing);
             # only the tiny per-example arrays differ
             val_cache = EntityCache(

@@ -166,3 +166,20 @@ def test_entity_cache_rejected_outside_concat_towers(dataset, hp_base):
         hp = hp_base.replace(model_type="deepconn", loss="BPR",
                              cache_doc_embeds=True, cache_entity=True)
         train_complete(hp, build_model(hp, dataset.word_vectors), dataset)
+
+
+def test_entity_fuse_rows_bitwise(dataset, hp_base, tmp_path):
+    """hp.pallas_fuse_rows (row gather folded into the kernels' DMA)
+    trains bitwise-identically to the take()-based entity path."""
+    hp = hp_base.replace(model_type="deepconn++", epochs=1,
+                         batch_size=16, use_pallas=True,
+                         cache_doc_embeds=True, cache_entity=True,
+                         shuffle_data_every_epoch=True,
+                         log_dir=str(tmp_path))
+    p1, m1 = train_complete(hp, build_model(hp, dataset.word_vectors),
+                            dataset)
+    hp2 = hp.replace(pallas_fuse_rows=True)
+    p2, m2 = train_complete(hp2, build_model(hp2, dataset.word_vectors),
+                            dataset)
+    assert m1 == m2
+    _assert_bitwise(p1, p2)

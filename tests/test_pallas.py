@@ -332,3 +332,36 @@ def test_paired_skip_mask_matches_zeroed_input():
         textcnn_pool_paired(xp, k, bias, t, w, True, jnp.float32,
                             skip) ** 2))(kern)
     assert np.array_equal(np.asarray(gr), np.asarray(gp))
+
+
+def test_rows_kernel_matches_take_path():
+    """Fused row-gather kernels (textcnn_pool_rows: scalar-prefetched
+    rows, per-row double-buffered HBM->VMEM DMA) must match
+    take(table, rows) + textcnn_pool_paired bitwise — forward and
+    dkernel, with and without the leakage mask."""
+    import jax.numpy as jnp
+    from reviews4rec_tpu.ops.textcnn_pallas import (paired_operand,
+                                                    textcnn_pool_paired,
+                                                    textcnn_pool_rows)
+
+    rng = np.random.default_rng(3)
+    n, b, t, e, f, w = 11, 5, 70, 64, 9, 3
+    docs = jnp.asarray(rng.normal(size=(n, t, e)), jnp.float32)
+    table = paired_operand(docs, w, jnp.float32)
+    rows = jnp.asarray([3, 0, 10, 7, 3], jnp.int32)
+    kern = jnp.asarray(rng.normal(size=(w * e, f)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(f,)), jnp.float32)
+    for skip in (None, jnp.asarray([[0, 0], [3, 7], [0, 70], [65, 20],
+                                    [10, 1]], jnp.int32)):
+        ref = textcnn_pool_paired(table[rows], kern, bias, t, w, True,
+                                  jnp.float32, skip)
+        got = textcnn_pool_rows(table, rows, kern, bias, t, w, True,
+                                jnp.float32, skip)
+        assert np.array_equal(np.asarray(ref), np.asarray(got))
+        gr = jax.grad(lambda k: jnp.sum(textcnn_pool_paired(
+            table[rows], k, bias, t, w, True, jnp.float32,
+            skip) ** 2))(kern)
+        gp = jax.grad(lambda k: jnp.sum(textcnn_pool_rows(
+            table, rows, k, bias, t, w, True, jnp.float32,
+            skip) ** 2))(kern)
+        assert np.array_equal(np.asarray(gr), np.asarray(gp))
