@@ -278,7 +278,12 @@ def main():
         elif mt in ("SVD", "SVD++", "NMF", "kNN", "baseline"):
             extra = []  # surprise-parity defaults (models/neighbors.py)
         elif mt == "NARRE":
-            extra = ["--epochs", "60", "--early_stop", "5"]
+            # per-review entity cache (row-mask leakage form) + pallas
+            # + scan: 12x the uncached product path at identical MSE
+            extra = ["--epochs", "60", "--early_stop", "5",
+                     "--use_pallas", "true", "--scan_steps", "10",
+                     "--cache_doc_embeds", "true",
+                     "--cache_entity", "true"]
         elif mt == "transnet++":
             # 3 towers: smaller batch; MSE_right (the target net that
             # READS the pair's held-out review) is the architecture's

@@ -860,25 +860,79 @@ class ReviewDataset:
         self._cache[key] = out
         return out
 
+    def _entity_rows_docs(self, rows: int, words: int, slots: int,
+                          user_pad: int, item_pad: int):
+        """Per-review rows>1 entity store (NARRE layout): canonical
+        per-entity docs ([U|I, rows, words], review j in row j) plus
+        canonical neighbor-id lists ([U, slots] items_reviewed /
+        [I, slots] users_who_gave, in the same slot order as the doc
+        rows — the alignment NARRE's attention relies on,
+        models/narre.py:7-9). Leakage removal in this layout masks a
+        whole ROW (the pair's own review) instead of shifting later
+        reviews up one slot — the mask deviation's rows>1 form."""
+        key = ("entity_rows", rows, words, slots, user_pad, item_pad)
+        if key in self._cache:
+            return self._cache[key]
+        flat = self._flat()
+        tokens, rev_off = flat["tokens"], flat["rev_off"]
+
+        def side(rids, seg_off, n_ent):
+            counts = np.diff(seg_off).astype(np.int64)
+            docs = np.zeros((n_ent, rows, words), np.int32)
+            owner = np.repeat(np.arange(n_ent), counts)
+            pos = (np.arange(len(rids))
+                   - np.repeat(seg_off[:-1], counts))
+            for j in range(len(rids)):
+                p = int(pos[j])
+                if p < rows:
+                    r = int(rids[j])
+                    m = min(int(rev_off[r + 1] - rev_off[r]), words)
+                    docs[owner[j], p, :m] = \
+                        tokens[rev_off[r]:rev_off[r] + m]
+            return docs
+
+        n_train = int(flat["u_revs"].shape[0])
+        udocs = side(np.arange(n_train), flat["u_off"], self.num_users)
+        idocs = side(flat["i_revs"], flat["i_off"], self.num_items)
+
+        def neighbors(other, seg_off, n_ent, pad):
+            out = np.full((n_ent, slots), pad, np.int32)
+            counts = np.diff(seg_off).astype(np.int64)
+            owner = np.repeat(np.arange(n_ent), counts)
+            pos = (np.arange(len(other))
+                   - np.repeat(seg_off[:-1], counts))
+            keep = pos < slots
+            out[owner[keep], pos[keep]] = other[keep]
+            return out
+
+        reviewed = neighbors(flat["u_other"], flat["u_off"],
+                             self.num_users, item_pad)
+        who_gave = neighbors(flat["i_other"], flat["i_off"],
+                             self.num_items, user_pad)
+        out = (udocs, idocs, who_gave, reviewed)
+        self._cache[key] = out
+        return out
+
     def materialize_entity(self, hp, split: str) -> Dict[str, np.ndarray]:
         """Per-example records for the ENTITY doc cache: ids + rating +
-        (train only) the leakage-mask spans 'user_skip'/'item_skip'
-        ([N, 2] int32 (start, len) into the canonical docs). No doc
-        tensors — those live once per entity (`_entity_spans`). Only
-        the concatenated rows==1 layout (deepconn/deepconn++) is
-        entity-cacheable."""
+        (train only) the leakage-mask spans. No doc tensors — those
+        live once per entity. Layouts:
+        - rows==1 (deepconn/deepconn++): 'user_skip'/'item_skip'
+          [N, 2] int32 (start, len) word spans into the canonical
+          concatenated docs (`_entity_spans`).
+        - rows>1 (NARRE): 'user_skip'/'item_skip' [N] int32 REVIEW-ROW
+          index to zero (-1 = none), into the per-review doc/neighbor
+          tables (`_entity_rows_docs`)."""
         rows, words = _doc_layout(hp)
-        if rows != 1:
-            raise ValueError(
-                "entity doc cache supports the concatenated rows==1 doc "
-                f"layout only; {hp.model_type!r} uses {rows} rows")
         sp = self.splits[split]
         recs = {"user": sp.user.astype(np.int32),
                 "item": sp.item.astype(np.int32),
                 "rating": sp.rating.astype(np.float32)}
-        if split == "train":
-            flat = self._flat()
-            user, item, ui_idx, iu_idx, _ = self._examples(split)
+        if split != "train":
+            return recs
+        flat = self._flat()
+        user, item, ui_idx, iu_idx, _ = self._examples(split)
+        if rows == 1:
             (_, u_span), (_, i_span) = self._entity_spans(words)
             zero = np.zeros(2, np.int32)
 
@@ -892,6 +946,13 @@ class ReviewDataset:
                                       u_span).astype(np.int32)
             recs["item_skip"] = spans(iu_idx, flat["i_off"], item,
                                       i_span).astype(np.int32)
+        else:
+            # row index to mask; reviews past `rows` never entered the
+            # doc/neighbor tables, so they mask nothing
+            recs["user_skip"] = np.where(ui_idx < rows, ui_idx,
+                                         -1).astype(np.int32)
+            recs["item_skip"] = np.where(iu_idx < rows, iu_idx,
+                                         -1).astype(np.int32)
         return recs
 
     # ------------------------------------------------------------------

@@ -34,8 +34,18 @@ class NARRE(nn.Module):
     seq_axis: str = "model"
     seq_batch_axis: object = None
 
-    def _attend(self, feats, ctx_emb, scorer, train):
-        # feats: [B, R, L]; ctx_emb: [B, R, L] neighbor-id embeddings
+    def _attend(self, feats, ctx_emb, scorer, train, skip_row=None):
+        # feats: [B, R, L]; ctx_emb: [B, R, L] neighbor-id embeddings.
+        # skip_row ([B] int32, -1 = none): the entity-cache leakage
+        # mask's rows>1 form (hp.cache_entity) — the pair's own review
+        # row is ZEROED at the feature level (its content contributes
+        # nothing; only softmax normalization mass remains), the mask
+        # deviation documented at data/corpus.py::_entity_rows_docs.
+        if skip_row is not None:
+            r_iota = jnp.arange(feats.shape[1])[None, :, None]
+            hit = r_iota == skip_row[:, None, None]
+            feats = jnp.where(hit, 0.0, feats)
+            ctx_emb = jnp.where(hit, 0.0, ctx_emb)
         scores = scorer(jnp.concatenate([feats, ctx_emb], axis=-1),
                         train=train)               # [B, R]
         att = jax.nn.softmax(scores, axis=-1)
@@ -86,14 +96,16 @@ class NARRE(nn.Module):
         # Review-level attention with neighbor ids as context
         # (NARRE.py:110-113): the user's reviews attend over the items
         # they were written about, and vice versa.
+        u_skip = batch.get("user_skip")
+        i_skip = batch.get("item_skip")
         u_att = self._attend(
             uf, jnp.take(ie, reviewed, axis=0),
             ScorerMLP(self.latent_size, self.dropout, name="att_user"),
-            train)
+            train, skip_row=u_skip)
         i_att = self._attend(
             itf, jnp.take(ue, who_gave, axis=0),
             ScorerMLP(self.latent_size, self.dropout, name="att_item"),
-            train)
+            train, skip_row=i_skip)
 
         if u_lead != lead:
             u_att = jnp.broadcast_to(

@@ -320,7 +320,10 @@ class EntityCache(NamedTuple):
     tables: Dict
 
 
-ENTITY_ID_KEY = {"user_doc": "user", "item_doc": "item"}
+ENTITY_ID_KEY = {"user_doc": "user", "item_doc": "item",
+                 # NARRE neighbor-id context lists: users who reviewed
+                 # the ITEM / items the USER reviewed (narre.py:59-62)
+                 "users_who_gave": "item", "items_reviewed": "user"}
 
 
 def gather_cached_batch(cache, rows, weight) -> Dict:
@@ -669,11 +672,11 @@ def train_complete(hp: HyperParams, model, dataset, *,
         use_cache = use_cache and hp.epochs > 0
         use_entity = use_entity and hp.epochs > 0
     if use_entity:
-        if hp.model_type not in ("deepconn", "deepconn++"):
+        if hp.model_type not in ("deepconn", "deepconn++", "NARRE"):
             raise ValueError(
                 "cache_entity supports the concatenated-doc towers "
-                "(deepconn/deepconn++); NARRE's per-review layout and "
-                "transnet's this_doc need per-example records")
+                "(deepconn/deepconn++) and NARRE's per-review layout; "
+                "transnet's this_doc needs per-example records")
         if ranking:
             raise ValueError(
                 "cache_entity trains pointwise (RAW_MSE); candidate-grid "
@@ -701,14 +704,24 @@ def train_complete(hp: HyperParams, model, dataset, *,
         pw = paired_window_for(hp)
         ck, idk = doc_cache_keys(hp.model_type, hp.cache_sides)
         if use_entity:
-            _, words = (1, hp.input_length)
-            (udocs, _), (idocs, _) = dataset._entity_spans(words)
-            entity_docs = {"user_doc": udocs, "item_doc": idocs}
+            if hp.model_type == "NARRE":
+                udocs, idocs, who_gave, reviewed = \
+                    dataset._entity_rows_docs(
+                        hp.narre_num_reviews, hp.narre_num_words,
+                        10, hp.user_pad_id, hp.item_pad_id)
+                entity_docs = {"user_doc": udocs, "item_doc": idocs,
+                               "users_who_gave": who_gave,
+                               "items_reviewed": reviewed}
+            else:
+                (udocs, _), (idocs, _) = dataset._entity_spans(
+                    hp.input_length)
+                entity_docs = {"user_doc": udocs, "item_doc": idocs}
             train_cache = build_entity_cache(
                 train_recs, entity_docs, dataset.word_vectors,
                 cache_dtype_for(hp), paired_window=pw, keys=ck,
                 id_keys=idk,
-                fuse_rows=hp.pallas_fuse_rows and pw is not None)
+                fuse_rows=(hp.pallas_fuse_rows and pw is not None
+                           and hp.model_type != "NARRE"))
             # val shares the SAME doc tables (eval removes nothing);
             # only the tiny per-example arrays differ
             val_cache = EntityCache(
@@ -759,11 +772,21 @@ def train_complete(hp: HyperParams, model, dataset, *,
                 # shapes — gather int docs host-side from the canonical
                 # store (params are identical whichever doc form the
                 # model later consumes)
-                (udocs, _), (idocs, _) = dataset._entity_spans(
-                    hp.input_length)
-                sample = dict(sample,
-                              user_doc=udocs[sample["user"]],
-                              item_doc=idocs[sample["item"]])
+                if hp.model_type == "NARRE":
+                    ud_i, id_i, wg_i, rv_i = dataset._entity_rows_docs(
+                        hp.narre_num_reviews, hp.narre_num_words,
+                        10, hp.user_pad_id, hp.item_pad_id)
+                    sample = dict(sample,
+                                  user_doc=ud_i[sample["user"]],
+                                  item_doc=id_i[sample["item"]],
+                                  users_who_gave=wg_i[sample["item"]],
+                                  items_reviewed=rv_i[sample["user"]])
+                else:
+                    (udocs, _), (idocs, _) = dataset._entity_spans(
+                        hp.input_length)
+                    sample = dict(sample,
+                                  user_doc=udocs[sample["user"]],
+                                  item_doc=idocs[sample["item"]])
             params = model.init({"params": init_rng, "dropout": init_rng},
                                 sample, train=False)["params"]
         if mesh is not None:

@@ -158,9 +158,9 @@ def test_entity_cache_mesh_matches_single_device(dataset, hp_base,
 
 
 def test_entity_cache_rejected_outside_concat_towers(dataset, hp_base):
-    with pytest.raises(ValueError, match="entity|concatenated"):
-        hp = hp_base.replace(model_type="NARRE", cache_doc_embeds=True,
-                             cache_entity=True)
+    with pytest.raises(ValueError, match="entity|this_doc"):
+        hp = hp_base.replace(model_type="transnet",
+                             cache_doc_embeds=True, cache_entity=True)
         train_complete(hp, build_model(hp, dataset.word_vectors), dataset)
     with pytest.raises(ValueError, match="pointwise|RAW_MSE"):
         hp = hp_base.replace(model_type="deepconn", loss="BPR",
@@ -183,3 +183,90 @@ def test_entity_fuse_rows_bitwise(dataset, hp_base, tmp_path):
                             dataset)
     assert m1 == m2
     _assert_bitwise(p1, p2)
+
+
+def test_entity_rows_docs_eval_identity(dataset, hp_base):
+    """NARRE layout: canonical per-review entity docs + neighbor lists
+    equal the per-example eval materialization (eval removes nothing)."""
+    hp = hp_base.replace(model_type="NARRE")
+    ud, it, wg, rv = dataset._entity_rows_docs(
+        hp.narre_num_reviews, hp.narre_num_words, 10, hp.user_pad_id,
+        hp.item_pad_id)
+    for split in ("val", "test"):
+        ev = dataset.materialize(hp, split)
+        assert np.array_equal(ud[ev["user"]], ev["user_doc"])
+        assert np.array_equal(it[ev["item"]], ev["item_doc"])
+        assert np.array_equal(wg[ev["item"]], ev["users_who_gave"])
+        assert np.array_equal(rv[ev["user"]], ev["items_reviewed"])
+
+
+def test_narre_entity_mask_blocks_leakage(dataset, hp_base):
+    """The rows>1 leakage mask: with `user_skip`/`item_skip` row
+    indices set, CHANGING the masked review row's words and its aligned
+    neighbor id must not change the prediction — the pair's own review
+    cannot flow into the score."""
+    from reviews4rec_tpu.data.batcher import Batcher
+
+    hp = hp_base.replace(model_type="NARRE", batch_size=8)
+    model = build_model(hp, dataset.word_vectors)
+    ent = dataset.materialize_entity(hp, "train")
+    ud, it, wg, rv = dataset._entity_rows_docs(
+        hp.narre_num_reviews, hp.narre_num_words, 10, hp.user_pad_id,
+        hp.item_pad_id)
+    bs = 8
+    sel = np.where(ent["user_skip"][:200] >= 0)[0][:bs]
+    assert len(sel) == bs
+    batch = {k: np.asarray(v)[sel] for k, v in ent.items()}
+    batch.update(user_doc=ud[batch["user"]].copy(),
+                 item_doc=it[batch["item"]].copy(),
+                 users_who_gave=wg[batch["item"]].copy(),
+                 items_reviewed=rv[batch["user"]].copy(),
+                 weight=np.ones(bs, np.float32))
+    import jax
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng}, batch,
+                        train=False)["params"]
+    p1 = model.apply({"params": params}, batch, train=False)
+
+    # scramble the masked rows' content + aligned neighbor slots
+    poisoned = {k: (v.copy() if hasattr(v, "copy") else v)
+                for k, v in batch.items()}
+    for j in range(bs):
+        a = int(batch["user_skip"][j])
+        poisoned["user_doc"][j, a] = 7  # arbitrary word everywhere
+        poisoned["items_reviewed"][j, a] = 3
+        b = int(batch["item_skip"][j])
+        if b >= 0:
+            poisoned["item_doc"][j, b] = 7
+            poisoned["users_who_gave"][j, b] = 3
+    p2 = model.apply({"params": params}, poisoned, train=False)
+    assert np.allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+    # control: WITHOUT the skip keys the same scramble must change
+    # the prediction (the mask is doing the work)
+    b1 = {k: v for k, v in batch.items()
+          if k not in ("user_skip", "item_skip")}
+    b2 = {k: v for k, v in poisoned.items()
+          if k not in ("user_skip", "item_skip")}
+    q1 = model.apply({"params": params}, b1, train=False)
+    q2 = model.apply({"params": params}, b2, train=False)
+    assert not np.allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
+
+
+def test_narre_entity_trains_and_matches_eval(dataset, hp_base,
+                                              tmp_path):
+    """NARRE entity-cached training runs end to end (XLA + pallas
+    interpret agree on metrics) and the api.run mesh variant matches
+    single-device."""
+    from reviews4rec_tpu.api import run
+
+    hp = hp_base.replace(model_type="NARRE", epochs=1, batch_size=16,
+                         cache_doc_embeds=True, cache_entity=True,
+                         save_model=False, log_dir=str(tmp_path))
+    m1, _, _ = run(hp, dataset)
+    m2, _, _ = run(hp.replace(use_pallas=True), dataset)
+    strip = lambda m: {k: v for k, v in m.items()
+                       if "examples_per_s" not in k}
+    assert strip(m1) == strip(m2)
+    m3, _, _ = run(hp.replace(mesh_shape=(4, 2)), dataset)
+    assert strip(m1) == strip(m3)
