@@ -273,8 +273,12 @@ def main():
             extra = ["--epochs", "30", "--early_stop", "5",
                      "--scan_steps", "10"]
         elif mt == "transnet":
+            # entity cache: source towers from entity tables (+ span
+            # masks), this_doc per-example ids
             extra = ["--epochs", "40", "--early_stop", "5",
-                     "--batch_size", "128"]
+                     "--use_pallas", "true", "--scan_steps", "10",
+                     "--cache_doc_embeds", "true",
+                     "--cache_entity", "true"]
         elif mt in ("SVD", "SVD++", "NMF", "kNN", "baseline"):
             extra = []  # surprise-parity defaults (models/neighbors.py)
         elif mt == "NARRE":
@@ -285,11 +289,13 @@ def main():
                      "--cache_doc_embeds", "true",
                      "--cache_entity", "true"]
         elif mt == "transnet++":
-            # 3 towers: smaller batch; MSE_right (the target net that
-            # READS the pair's held-out review) is the architecture's
-            # text-learnability witness
+            # 3 towers on the entity perf path; MSE_right (the target
+            # net that READS the pair's held-out review) is the
+            # architecture's text-learnability witness
             extra = ["--epochs", "40", "--early_stop", "5",
-                     "--batch_size", "128"]
+                     "--use_pallas", "true", "--scan_steps", "10",
+                     "--cache_doc_embeds", "true",
+                     "--cache_entity", "true"]
         elif mt == "MPCN":
             # reference default L2 1e-8 overfits this corpus size in
             # <10 epochs (trained-from-scratch word embeddings);

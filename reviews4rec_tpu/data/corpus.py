@@ -928,6 +928,20 @@ class ReviewDataset:
         recs = {"user": sp.user.astype(np.int32),
                 "item": sp.item.astype(np.int32),
                 "rating": sp.rating.astype(np.float32)}
+        if hp.model_type in ("transnet", "transnet++"):
+            # the pair's own held-out review is intrinsically
+            # per-EXAMPLE; it stays raw int32 in the example cache
+            # (~4 bytes/word) and embeds in-jit through the frozen table
+            flat = self._flat()
+            _, _, _, _, this_rev = self._examples(split)
+            tokens, rev_off = flat["tokens"], flat["rev_off"]
+            tdoc = np.zeros((len(sp), words), np.int32)
+            for x in range(len(sp)):
+                r = int(this_rev[x])
+                if r >= 0:
+                    m = min(int(rev_off[r + 1] - rev_off[r]), words)
+                    tdoc[x, :m] = tokens[rev_off[r]:rev_off[r] + m]
+            recs["this_doc"] = tdoc
         if split != "train":
             return recs
         flat = self._flat()

@@ -80,10 +80,21 @@ class TransNet(nn.Module):
                    seq_batch_axis=self.seq_batch_axis)
 
         # ---- source net ----
+        # entity-cache leakage masks (hp.cache_entity): the pair's own
+        # review span is zeroed inside the source towers; the target
+        # tower reads this_doc (the held-out review itself) unmasked
+        u_skip = batch.get("user_skip")
+        i_skip = batch.get("item_skip")
+        if u_skip is not None:
+            u_skip = u_skip.reshape(-1, 2)
+        if i_skip is not None:
+            i_skip = i_skip.reshape(-1, 2)
         u = TextCNN(self.latent_size, self.dropout, **cnn,
-                    name="source_user_conv")(udoc, train=train, table=wv)
+                    name="source_user_conv")(udoc, train=train, table=wv,
+                                             skip=u_skip)
         i = TextCNN(self.latent_size, self.dropout, **cnn,
-                    name="source_item_conv")(idoc, train=train, table=wv)
+                    name="source_item_conv")(idoc, train=train, table=wv,
+                                             skip=i_skip)
         if u_lead != lead:
             u = jnp.broadcast_to(u.reshape(u_lead + u.shape[-1:]),
                                  lead + u.shape[-1:]) \

@@ -672,11 +672,12 @@ def train_complete(hp: HyperParams, model, dataset, *,
         use_cache = use_cache and hp.epochs > 0
         use_entity = use_entity and hp.epochs > 0
     if use_entity:
-        if hp.model_type not in ("deepconn", "deepconn++", "NARRE"):
+        if hp.model_type not in ("deepconn", "deepconn++", "NARRE",
+                                 "transnet", "transnet++"):
             raise ValueError(
-                "cache_entity supports the concatenated-doc towers "
-                "(deepconn/deepconn++) and NARRE's per-review layout; "
-                "transnet's this_doc needs per-example records")
+                "cache_entity applies to the frozen-table review towers "
+                f"(deepconn/deepconn++/NARRE/transnet); "
+                f"{hp.model_type!r} has no entity doc store")
         if ranking:
             raise ValueError(
                 "cache_entity trains pointwise (RAW_MSE); candidate-grid "

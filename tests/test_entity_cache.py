@@ -157,10 +157,10 @@ def test_entity_cache_mesh_matches_single_device(dataset, hp_base,
     assert strip(m1) == strip(m2)
 
 
-def test_entity_cache_rejected_outside_concat_towers(dataset, hp_base):
-    with pytest.raises(ValueError, match="entity|this_doc"):
-        hp = hp_base.replace(model_type="transnet",
-                             cache_doc_embeds=True, cache_entity=True)
+def test_entity_cache_rejected_outside_frozen_towers(dataset, hp_base):
+    with pytest.raises(ValueError, match="frozen"):
+        hp = hp_base.replace(model_type="MPCN", cache_doc_embeds=True,
+                             cache_entity=True)
         train_complete(hp, build_model(hp, dataset.word_vectors), dataset)
     with pytest.raises(ValueError, match="pointwise|RAW_MSE"):
         hp = hp_base.replace(model_type="deepconn", loss="BPR",
@@ -270,3 +270,32 @@ def test_narre_entity_trains_and_matches_eval(dataset, hp_base,
     assert strip(m1) == strip(m2)
     m3, _, _ = run(hp.replace(mesh_shape=(4, 2)), dataset)
     assert strip(m1) == strip(m3)
+
+
+@pytest.mark.parametrize("model_type", ["transnet", "transnet++"])
+def test_transnet_entity_trains(dataset, hp_base, model_type, tmp_path):
+    """Transnet entity mode: user/item sides from entity tables with
+    source-tower span masks; this_doc stays per-example ids. XLA and
+    pallas-interpret agree on metrics; mesh matches single-device."""
+    from reviews4rec_tpu.api import run
+
+    hp = hp_base.replace(model_type=model_type, epochs=1, batch_size=16,
+                         cache_doc_embeds=True, cache_entity=True,
+                         save_model=False, log_dir=str(tmp_path))
+    m1, _, _ = run(hp, dataset)
+    m2, _, _ = run(hp.replace(use_pallas=True), dataset)
+    strip = lambda m: {k: v for k, v in m.items()
+                       if "examples_per_s" not in k}
+    assert strip(m1) == strip(m2)
+    m3, _, _ = run(hp.replace(mesh_shape=(4, 2)), dataset)
+    assert strip(m1) == strip(m3)
+
+
+def test_transnet_entity_this_doc_matches_per_example(dataset, hp_base):
+    """this_doc in the entity records equals the per-example
+    materialization for every split (it is per-example data)."""
+    hp = hp_base.replace(model_type="transnet")
+    for split in ("train", "val", "test"):
+        ent = dataset.materialize_entity(hp, split)
+        ref = dataset.materialize(hp, split)
+        assert np.array_equal(ent["this_doc"], ref["this_doc"])
