@@ -1071,7 +1071,7 @@ def _gathered_call(table, rows, kernel, bias, b, window, t_out, b_tile,
         num_scalar_prefetch=1,
         grid=(bt_pad // b_tile, n_chunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # table in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # table in HBM
             pl.BlockSpec((4 * e, 2 * f_pad), lambda i, c, r: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f_pad), lambda i, c, r: (0, 0),
@@ -1132,7 +1132,7 @@ def _gathered_dg(table, rows, kernel, g, idx, window, interpret,
         num_scalar_prefetch=1,
         grid=(bt_pad // b_tile, n_chunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((b_tile, f_pad), lambda i, c, r: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, f_pad), lambda i, c, r: (i, 0),
