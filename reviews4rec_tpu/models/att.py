@@ -179,7 +179,12 @@ class IntraAttention(nn.Module):
     model of Parikh et al.): 2-layer projection, dot-product affinity
     plus a learned bias per clipped token distance
     (`get_distance_biases`, att_op.py:89-123), row softmax, concat of
-    the projection and its attended counterpart."""
+    the projection and its attended counterpart.
+
+    LIBRARY-PARITY-ONLY: no reference-runner config reaches intra-
+    attention (the MPCN runner never sets att_op's intra flags), so no
+    model config here wires it either — it exists, tested, to cover the
+    attention library's full surface for external callers."""
 
     dim: int
     dist_bias: int = 10

@@ -290,7 +290,11 @@ class PosFFN(nn.Module):
     """Point-wise feed-forward block with residual + layer norm
     (reference `pos_feedforward`, tylib/lib/nn.py:363-393): two 1x1
     convolutions — position-wise Dense on TPU, where a kernel-1 conv IS
-    a matmul — relu between, residual add, LayerNorm."""
+    a matmul — relu between, residual add, LayerNorm.
+
+    LIBRARY-PARITY-ONLY: unreachable from the reference runner's config
+    space (like `positional_encoding` below) — kept, tested, for the NN
+    library's full surface."""
 
     hidden: int
 
