@@ -299,9 +299,11 @@ def main():
         elif mt == "MPCN":
             # reference default L2 1e-8 overfits this corpus size in
             # <10 epochs (trained-from-scratch word embeddings);
-            # mpcn_l2 is the reference's own parser knob
+            # mpcn_l2 is the reference's own parser knob. scan10
+            # amortizes dispatch (+31% measured; no doc cache applies —
+            # MPCN's word table is trained, not frozen)
             extra = ["--epochs", "40", "--early_stop", "5",
-                     "--mpcn_l2", "1e-4"]
+                     "--mpcn_l2", "1e-4", "--scan_steps", "10"]
         elif mt == "HFT":
             # latent_reg 0 (reference default) lets gamma_u overfit
             # (train 0.11 / val 0.88 on a 20k sandbox); the reference
