@@ -432,6 +432,20 @@ def make_placer(mesh, stacked: bool = False) -> Callable:
                                      axis=axis)
 
 
+def _epoch_keys(rng, n: int) -> np.ndarray:
+    """All of an epoch's per-step RNG keys from ONE batched split,
+    fetched to host once. The previous sequential `rng, k = split(rng)`
+    chain issued one tiny device op PER BATCH — on a tunneled chip each
+    occupies a dispatch slot, so a scan-10 epoch paid ~11 dispatches
+    per group instead of 1. Every epoch driver (plain, scanned, cached)
+    derives its keys from this same array, so cross-path bitwise parity
+    is preserved (the stream itself differs from the r4 sequential
+    chain — a one-time, documented change)."""
+    if n <= 0:
+        return np.zeros((0, 2), np.uint32)
+    return np.asarray(jax.random.split(rng, n))
+
+
 def _lookahead(it, depth: int = 2):
     """Run the (eagerly-placing) iterator `depth` items ahead of
     consumption so host->device copies overlap the previous step's
@@ -476,13 +490,14 @@ def train_epoch(train_step, state: TrainState, batcher: Batcher,
     sq_sum = jnp.zeros(())
     n = jnp.zeros(())
     bs = batcher.batch_size
+    n_steps = -(-batcher.n // max(bs, 1))
+    keys = _epoch_keys(rng, n_steps)
     use_scan = scan_step is not None and scan_steps > 1
     if not use_scan:
         remaining = batcher.n
-        for batch in _prefetch(batcher, place):
-            rng, step_rng = jax.random.split(rng)
+        for i, batch in enumerate(_prefetch(batcher, place)):
             with annotate("train_step"):
-                state, m = train_step(state, batch, step_rng)
+                state, m = train_step(state, batch, keys[i])
             sq_sum = sq_sum + m["sq_sum"]
             n = n + m["n"]
             tp.add(min(bs, remaining))  # host-side count, no device sync
@@ -496,19 +511,18 @@ def train_epoch(train_step, state: TrainState, batcher: Batcher,
         place_stacked = make_placer(None)
 
     def grouped():
-        nonlocal rng
-        group, grngs, counts, left = [], [], [], batcher.n
+        group, grngs, counts, left, i = [], [], [], batcher.n, 0
         for batch in batcher:
-            rng, step_rng = jax.random.split(rng)
             group.append(batch)
-            grngs.append(step_rng)
+            grngs.append(keys[i])
+            i += 1
             counts.append(min(bs, left))
             left -= bs
             if len(group) == scan_steps:
                 stacked = {k: np.stack([b[k] for b in group])
                            for k in group[0]}
                 yield (scan_step, place_stacked(stacked),
-                       jnp.stack(grngs), sum(counts))
+                       jnp.asarray(np.stack(grngs)), sum(counts))
                 group, grngs, counts = [], [], []
         for batch, step_rng, c in zip(group, grngs, counts):
             yield (train_step, place(batch), step_rng, c)
@@ -554,17 +568,17 @@ def train_epoch_cached(cached_step, cached_scan_step, state: TrainState,
     n = jnp.zeros(())
     bs = batcher.batch_size
     remaining = batcher.n
+    keys = _epoch_keys(rng, -(-batcher.n // max(bs, 1)))
     group = []
-    for batch in batcher:
-        rng, step_rng = jax.random.split(rng)
+    for i, batch in enumerate(batcher):
         group.append((batch["row"].astype(np.int32), batch["weight"],
-                      step_rng, min(bs, remaining)))
+                      keys[i], min(bs, remaining)))
         remaining -= bs
         if scan_steps > 1 and len(group) == scan_steps:
             placed = place_stacked(
                 {"row": np.stack([g[0] for g in group]),
                  "weight": np.stack([g[1] for g in group])})
-            ks = jnp.stack([g[2] for g in group])
+            ks = jnp.asarray(np.stack([g[2] for g in group]))
             with annotate("train_step"):
                 state, m = cached_scan_step(state, cache, placed["row"],
                                             placed["weight"], ks)
