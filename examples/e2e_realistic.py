@@ -303,7 +303,9 @@ def main():
             # amortizes dispatch (+31% measured; no doc cache applies —
             # MPCN's word table is trained, not frozen)
             extra = ["--epochs", "40", "--early_stop", "5",
-                     "--mpcn_l2", "1e-4", "--scan_steps", "10"]
+                     "--mpcn_l2", "1e-4", "--scan_steps", "10",
+                     "--cache_doc_embeds", "true",
+                     "--cache_sides", "ids"]
         elif mt == "HFT":
             # latent_reg 0 (reference default) lets gamma_u overfit
             # (train 0.11 / val 0.88 on a 20k sandbox); the reference

@@ -670,11 +670,22 @@ def train_complete(hp: HyperParams, model, dataset, *,
     use_cache = hp.cache_doc_embeds
     use_entity = use_cache and hp.cache_entity
     if use_cache:
-        if hp.family != "review" or hp.model_type == "MPCN":
+        if hp.family != "review":
             raise ValueError(
-                "cache_doc_embeds pre-embeds the FROZEN word table and "
-                "only applies to deepconn/NARRE/transnet; "
-                f"{hp.model_type!r} has no frozen doc embedding")
+                "cache_doc_embeds caches review doc tensors and only "
+                f"applies to the review family; {hp.model_type!r} has "
+                f"no doc tensors")
+        if hp.model_type == "MPCN" and hp.cache_sides != "ids":
+            # MPCN's word table is TRAINED, so pre-EMBEDDED caches are
+            # wrong — but an ids-only cache never touches the table:
+            # the int docs are static data, the (trained) embedding
+            # happens in-jit either way. Caching them on device kills
+            # the per-step host transfer ([S, B, 2, dmax, smax] ints
+            # per scan dispatch), MPCN's measured product bottleneck.
+            raise ValueError(
+                "MPCN trains its word embeddings; only the ids-only "
+                "cache applies (cache_sides='ids') — pre-embedded "
+                "caches would freeze a trained table")
         if not use_entity and mesh is not None and jax.process_count() > 1:
             raise ValueError(
                 "per-example cache_doc_embeds + multi-host is "

@@ -171,12 +171,28 @@ def test_cached_ranking_loss_parity(dataset, hp_base):
 
 
 def test_cache_rejected_outside_frozen_towers(dataset, hp_base):
-    with pytest.raises(ValueError, match="frozen"):
+    # MPCN: pre-embedded caches rejected (trained word table), but the
+    # ids-only cache is allowed and bitwise-identical
+    with pytest.raises(ValueError, match="ids-only"):
         _train(dataset, hp_base.replace(model_type="MPCN",
                                         cache_doc_embeds=True))
-    with pytest.raises(ValueError, match="frozen"):
+    with pytest.raises(ValueError, match="review"):
         _train(dataset, hp_base.replace(model_type="MF_dot",
                                         cache_doc_embeds=True))
+
+
+def test_mpcn_ids_cache_bitwise(dataset, hp_base):
+    """MPCN + cache_sides='ids': the int docs live on device (killing
+    the per-step host doc transfer, MPCN's measured product bottleneck)
+    while the TRAINED embedding still happens in-jit — bitwise-identical
+    to the uncached run."""
+    hp = hp_base.replace(model_type="MPCN", epochs=1, batch_size=16,
+                         shuffle_data_every_epoch=True)
+    p1, m1 = _train(dataset, hp)
+    p2, m2 = _train(dataset, hp.replace(cache_doc_embeds=True,
+                                        cache_sides="ids"))
+    assert m1 == m2
+    _assert_bitwise(p1, p2)
 
 
 def _strip_timing(m):

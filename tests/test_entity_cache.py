@@ -158,7 +158,7 @@ def test_entity_cache_mesh_matches_single_device(dataset, hp_base,
 
 
 def test_entity_cache_rejected_outside_frozen_towers(dataset, hp_base):
-    with pytest.raises(ValueError, match="frozen"):
+    with pytest.raises(ValueError, match="ids-only"):
         hp = hp_base.replace(model_type="MPCN", cache_doc_embeds=True,
                              cache_entity=True)
         train_complete(hp, build_model(hp, dataset.word_vectors), dataset)
