@@ -22,21 +22,67 @@ from .utils.logging import Timer, file_write, log_end_epoch
 
 
 def _finalize(hp, model, params, dataset, quiet: bool, mesh=None):
-    """Test MSE + count maps + ranking for a trained gradient model."""
+    """Test MSE + count maps + ranking for a trained gradient model.
+
+    With the ENTITY cache on (hp.cache_doc_embeds + hp.cache_entity,
+    supported towers), the whole finalize pass runs DEVICE-RESIDENT:
+    test-split MSE through the entity example cache and ranking over
+    ID-ONLY candidate grids whose doc tensors are gathered in-jit from
+    the canonical entity tables (train/evaluate.py::
+    make_entity_rank_step) — no multi-GB host doc grids, no wire
+    transfer of document text. Metrics are identical to the
+    host-materialized path (eval removes nothing, so canonical docs
+    ARE the eval docs — tested)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from .data.batcher import Batcher
+    from .train.loop import (EntityCache, build_entity_tables,
+                             entity_supported)
 
     apply_fn = make_apply_fn(model)
-    eval_step = make_eval_step(apply_fn, hp.model_type, mesh=mesh)
-    test_b = Batcher(dataset.materialize(hp, "test"), hp.batch_size)
-    metrics, ucm, icm = evaluate(eval_step, params, test_b, hp,
-                                 dataset.user_count, dataset.item_count,
-                                 mesh=mesh)
+    use_ent = (hp.cache_doc_embeds and hp.cache_entity
+               and hp.family == "review" and entity_supported(hp)
+               and jax.process_count() == 1)
+    tables = None
+    if use_ent:
+        from .train.evaluate import (evaluate_cached,
+                                     make_cached_eval_step,
+                                     make_entity_rank_step)
+        tables = build_entity_tables(hp, dataset)
+        if mesh is not None:
+            from .parallel.mesh import replicate
+            tables = replicate(tables, mesh)
+        test_recs = dataset.materialize_entity(hp, "test")
+        test_cache = EntityCache(
+            example={k: jnp.asarray(np.asarray(v))
+                     for k, v in test_recs.items()},
+            tables=tables)
+        cached_eval = make_cached_eval_step(apply_fn, hp.model_type,
+                                            mesh=mesh)
+        metrics, ucm, icm = evaluate_cached(
+            cached_eval, params, test_cache, test_recs, hp,
+            dataset.user_count, dataset.item_count, mesh=mesh)
+        tdw = (hp.input_length
+               if hp.model_type in ("transnet", "transnet++") else 0)
+        rank_step = make_entity_rank_step(apply_fn, hp.model_type,
+                                          this_doc_words=tdw, mesh=mesh)
+    else:
+        eval_step = make_eval_step(apply_fn, hp.model_type, mesh=mesh)
+        test_b = Batcher(dataset.materialize(hp, "test"), hp.batch_size)
+        metrics, ucm, icm = evaluate(eval_step, params, test_b, hp,
+                                     dataset.user_count,
+                                     dataset.item_count, mesh=mesh)
+        rank_step = make_rank_step(apply_fn, hp.model_type, mesh=mesh)
 
-    rank_step = make_rank_step(apply_fn, hp.model_type, mesh=mesh)
-    neg_recs = dataset.materialize_negs(hp)
+    neg_recs = dataset.materialize_negs(
+        hp, include_text=False if use_ent else None)
     # Review-model candidate tensors are large; use a smaller outer batch
-    # (kept divisible over the mesh data axis).
-    rank_bs = max(1, hp.batch_size // (4 if hp.uses_reviews else 1))
+    # (kept divisible over the mesh data axis). The entity path carries
+    # only ids per grid row, so it keeps the full batch.
+    heavy = hp.uses_reviews and not use_ent
+    rank_bs = max(1, hp.batch_size // (4 if heavy else 1))
     if mesh is not None:
         n_data = mesh.shape[hp.mesh_axes[0]]
         rank_bs = -(-rank_bs // n_data) * n_data
@@ -48,19 +94,25 @@ def _finalize(hp, model, params, dataset, quiet: bool, mesh=None):
         narrow_ks, wide_ks = split_eval_ks(hp)
         metrics.update(eval_ranking(
             rank_step, params, neg_recs, hp.replace(eval_ks=narrow_ks),
-            batch_size=rank_bs, mesh=mesh))
+            batch_size=rank_bs, mesh=mesh, entity_tables=tables))
         if wide_ks:  # don't build multi-GB doc grids for zero metrics
             wide_recs = dataset.materialize_wide_negs(
-                hp, hp.eval_num_negs, seed=hp.seed)
-            wide_bs = max(1, rank_bs // 4) if hp.uses_reviews else rank_bs
+                hp, hp.eval_num_negs, seed=hp.seed,
+                include_text=False if use_ent else None)
+            # entity path: the in-jit doc gather materializes
+            # [B, C, ...] float docs transiently — cap the outer batch
+            # so a 1+99 grid stays under ~1 GB of transient HBM
+            wide_bs = max(1, rank_bs // (8 if use_ent else
+                                         4 if hp.uses_reviews else 1))
             if mesh is not None:
                 wide_bs = -(-wide_bs // n_data) * n_data
             metrics.update(eval_ranking(
                 rank_step, params, wide_recs, hp.replace(eval_ks=wide_ks),
-                batch_size=wide_bs, mesh=mesh))
+                batch_size=wide_bs, mesh=mesh, entity_tables=tables))
     else:
         metrics.update(eval_ranking(rank_step, params, neg_recs, hp,
-                                    batch_size=rank_bs, mesh=mesh))
+                                    batch_size=rank_bs, mesh=mesh,
+                                    entity_tables=tables))
     return metrics, ucm, icm
 
 

@@ -580,7 +580,9 @@ class ReviewDataset:
         os.replace(tmp, manifest)
         return open_store()
 
-    def materialize_negs(self, hp) -> Dict[str, np.ndarray]:
+    def materialize_negs(self, hp,
+                         include_text: Optional[bool] = None
+                         ) -> Dict[str, np.ndarray]:
         """Candidate-grid records for ranking eval: [M, C] ids (positive
         in column 0), plus doc tensors for review models — item side
         [M, C, ...], user side [M, 1, ...] (identical across
@@ -591,8 +593,12 @@ class ReviewDataset:
         With `hp.out_of_core` the doc grids — the first tensors to
         exhaust RAM on a real dataset (reference fast loader rationale,
         data_fast.py:24-119) — are built chunk-wise into the memmapped
-        record store instead of host RAM."""
-        with_text = hp.family == "review"
+        record store instead of host RAM. `include_text=False` forces
+        ID-ONLY grids for a review model (the entity eval path gathers
+        docs from the canonical device tables in-jit instead —
+        train/evaluate.py::make_entity_rank_step)."""
+        with_text = (hp.family == "review" if include_text is None
+                     else include_text)
         m, c = self.neg_cands.shape
         user = np.repeat(self.neg_users, c).reshape(m, c).astype(np.int32)
         item = self.neg_cands.astype(np.int32)
@@ -656,8 +662,9 @@ class ReviewDataset:
         pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
         return keys[pos] == q
 
-    def materialize_wide_negs(self, hp, num_negs: int,
-                              seed: int = 0) -> Dict[str, np.ndarray]:
+    def materialize_wide_negs(self, hp, num_negs: int, seed: int = 0,
+                              include_text: Optional[bool] = None
+                              ) -> Dict[str, np.ndarray]:
         """Wide eval candidate grids (hp.eval_num_negs): per stored
         neg-set row, column 0 keeps that row's positive and columns
         1..num_negs are items sampled uniformly OUTSIDE the user's
@@ -665,8 +672,10 @@ class ReviewDataset:
         protocol, as an opt-in widening of the reference's 1+5 sets
         (make_negative_sets.py:42-68 parameterizes num_negs the same
         way). Same [M, C] layout as `materialize_negs`, so the jitted
-        rank step is shared; `hp.out_of_core` streams the doc grids."""
-        with_text = hp.family == "review"
+        rank step is shared; `hp.out_of_core` streams the doc grids;
+        `include_text=False` forces id-only grids (entity eval path)."""
+        with_text = (hp.family == "review" if include_text is None
+                     else include_text)
         m = int(self.neg_users.shape[0])
         c = num_negs + 1
         rng = np.random.default_rng(seed)

@@ -220,6 +220,43 @@ def make_rank_step(apply_fn: Callable, model_type: str, mesh=None):
     return rank_step
 
 
+def make_entity_rank_step(apply_fn: Callable, model_type: str,
+                          this_doc_words: int = 0, mesh=None):
+    """Rank step over ID-ONLY candidate grids + the canonical ENTITY
+    doc tables (train/loop.py::build_entity_tables): the [B, C] doc
+    grids are assembled IN-JIT by entity-id gathers from the tables
+    instead of being materialized on host and shipped over the wire —
+    eval grids carry no removal, so canonical docs are exactly the
+    per-example eval docs (tested). For transnet `this_doc` is zeros
+    (`this_rev=-1` semantics of materialize_negs)."""
+
+    @partial(jax.jit, **_replicated_out(mesh))
+    def rank_step(params, batch, tables):
+        b = dict(batch)
+        u2 = b["user"]
+        i2 = b["item"]
+        if "user_doc" in tables:
+            b["user_doc"] = jnp.take(tables["user_doc"], u2[:, 0],
+                                     axis=0)[:, None]
+        if "item_doc" in tables:
+            b["item_doc"] = jnp.take(tables["item_doc"], i2, axis=0)
+        if "items_reviewed" in tables:
+            b["items_reviewed"] = jnp.take(tables["items_reviewed"],
+                                           u2[:, 0], axis=0)[:, None]
+            b["users_who_gave"] = jnp.take(tables["users_who_gave"],
+                                           i2, axis=0)
+        if this_doc_words:
+            b["this_doc"] = jnp.zeros(i2.shape + (this_doc_words,),
+                                      jnp.int32)
+        preds = apply_fn(params, b, False, jax.random.PRNGKey(0))
+        if model_type in ("transnet", "transnet++"):
+            preds = preds[0]
+        pos = preds[:, :1]
+        return jnp.sum((preds[:, 1:] > pos), axis=1)
+
+    return rank_step
+
+
 def ranks_to_metrics(ranks: np.ndarray, ks) -> Dict[str, float]:
     """HR@k / NDCG@k from 0-based positive ranks (shared by the
     gradient, HFT and neighbor evaluators; NDCG emitted for k > 1)."""
@@ -254,9 +291,13 @@ def split_eval_ks(hp: HyperParams) -> Tuple[Tuple[int, ...],
 
 
 def eval_ranking(rank_step, params, neg_records, hp: HyperParams,
-                 batch_size: int = 0, mesh=None) -> Dict:
+                 batch_size: int = 0, mesh=None,
+                 entity_tables=None) -> Dict:
     """HR@k / NDCG@k over per-user candidate sets (reference
-    eval_ranking(), eval.py:64-91: k=1, hit iff argmax is the positive)."""
+    eval_ranking(), eval.py:64-91: k=1, hit iff argmax is the
+    positive). With `entity_tables` the records are ID-ONLY grids and
+    `rank_step` must be `make_entity_rank_step`'s (docs gathered
+    in-jit from the tables)."""
     from ..train.loop import make_placer
 
     place = make_placer(mesh)
@@ -264,7 +305,11 @@ def eval_ranking(rank_step, params, neg_records, hp: HyperParams,
     batcher = Batcher(neg_records, bs)
     ranks_d, weights = [], []
     for batch in batcher:
-        ranks_d.append(rank_step(params, place(batch)))
+        if entity_tables is not None:
+            ranks_d.append(rank_step(params, place(batch),
+                                     entity_tables))
+        else:
+            ranks_d.append(rank_step(params, place(batch)))
         weights.append(batch["weight"].astype(bool))
     ranks_d = jax.device_get(ranks_d)    # one blocking fetch per split
     ranks = [r[w] for r, w in zip(ranks_d, weights)]

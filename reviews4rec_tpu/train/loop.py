@@ -371,6 +371,38 @@ def build_entity_cache(records: Dict, entity_docs: Dict, word_vectors,
     return EntityCache(example=example, tables=tables)
 
 
+def entity_supported(hp: HyperParams) -> bool:
+    """Whether `hp.model_type` has an entity doc store (the towers the
+    entity cache/eval applies to)."""
+    return hp.model_type in ("deepconn", "deepconn++", "NARRE",
+                             "transnet", "transnet++")
+
+
+def build_entity_tables(hp: HyperParams, dataset) -> Dict:
+    """The canonical per-entity doc (and, for NARRE, neighbor) tables
+    as device arrays in the model's consumption form (float
+    prepaired/plain or raw ids per hp.cache_sides) — the shared builder
+    for the entity TRAIN cache and the entity EVAL paths."""
+    pw = paired_window_for(hp)
+    ck, idk = doc_cache_keys(hp.model_type, hp.cache_sides)
+    # this_doc is per-example (transnet) — never a table
+    ck = tuple(k for k in ck if k != "this_doc")
+    idk = tuple(k for k in idk if k != "this_doc")
+    if hp.model_type == "NARRE":
+        udocs, idocs, who_gave, reviewed = dataset._entity_rows_docs(
+            hp.narre_num_reviews, hp.narre_num_words, 10,
+            hp.user_pad_id, hp.item_pad_id)
+        entity_docs = {"user_doc": udocs, "item_doc": idocs,
+                       "users_who_gave": who_gave,
+                       "items_reviewed": reviewed}
+    else:
+        (udocs, _), (idocs, _) = dataset._entity_spans(hp.input_length)
+        entity_docs = {"user_doc": udocs, "item_doc": idocs}
+    return build_doc_cache(entity_docs, dataset.word_vectors,
+                           cache_dtype_for(hp), paired_window=pw,
+                           keys=ck, id_keys=idk)
+
+
 def paired_window_for(hp: HyperParams) -> Optional[int]:
     """Conv window when the doc cache should store Pallas paired
     operands; None when the plain [..., T, E] layout applies (XLA path,
@@ -730,24 +762,15 @@ def train_complete(hp: HyperParams, model, dataset, *,
         pw = paired_window_for(hp)
         ck, idk = doc_cache_keys(hp.model_type, hp.cache_sides)
         if use_entity:
-            if hp.model_type == "NARRE":
-                udocs, idocs, who_gave, reviewed = \
-                    dataset._entity_rows_docs(
-                        hp.narre_num_reviews, hp.narre_num_words,
-                        10, hp.user_pad_id, hp.item_pad_id)
-                entity_docs = {"user_doc": udocs, "item_doc": idocs,
-                               "users_who_gave": who_gave,
-                               "items_reviewed": reviewed}
-            else:
-                (udocs, _), (idocs, _) = dataset._entity_spans(
-                    hp.input_length)
-                entity_docs = {"user_doc": udocs, "item_doc": idocs}
-            train_cache = build_entity_cache(
-                train_recs, entity_docs, dataset.word_vectors,
-                cache_dtype_for(hp), paired_window=pw, keys=ck,
-                id_keys=idk,
-                fuse_rows=(hp.pallas_fuse_rows and pw is not None
-                           and hp.model_type != "NARRE"))
+            tables = build_entity_tables(hp, dataset)
+            if (hp.pallas_fuse_rows and pw is not None
+                    and hp.model_type != "NARRE"):
+                tables = {(k + "__table" if k in ck else k): v
+                          for k, v in tables.items()}
+            train_cache = EntityCache(
+                example={k: jnp.asarray(np.asarray(v))
+                         for k, v in train_recs.items()},
+                tables=tables)
             # val shares the SAME doc tables (eval removes nothing);
             # only the tiny per-example arrays differ
             val_cache = EntityCache(

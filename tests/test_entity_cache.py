@@ -299,3 +299,27 @@ def test_transnet_entity_this_doc_matches_per_example(dataset, hp_base):
         ent = dataset.materialize_entity(hp, split)
         ref = dataset.materialize(hp, split)
         assert np.array_equal(ent["this_doc"], ref["this_doc"])
+
+
+@pytest.mark.parametrize("model_type",
+                         ["deepconn++", "NARRE", "transnet++"])
+def test_entity_finalize_matches_host_grids(dataset, hp_base,
+                                            model_type, tmp_path):
+    """The device-resident finalize pass (entity test-MSE cache +
+    id-only rank grids with in-jit doc gathers) must reproduce the
+    host-materialized path's metrics EXACTLY for the same trained
+    params — eval removes nothing, so canonical docs are the eval
+    docs."""
+    from reviews4rec_tpu.api import _finalize
+
+    hp = hp_base.replace(model_type=model_type, epochs=1, batch_size=16,
+                         eval_num_negs=20, eval_ks=(1, 10),
+                         log_dir=str(tmp_path))
+    model = build_model(hp, dataset.word_vectors)
+    params, _ = train_complete(hp, model, dataset)
+
+    m_host, ucm_h, _ = _finalize(hp, model, params, dataset, True)
+    hp_ent = hp.replace(cache_doc_embeds=True, cache_entity=True)
+    m_ent, ucm_e, _ = _finalize(hp_ent, model, params, dataset, True)
+    assert m_host == m_ent
+    assert set(ucm_h) == set(ucm_e)
