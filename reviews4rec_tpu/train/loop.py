@@ -763,8 +763,10 @@ def train_complete(hp: HyperParams, model, dataset, *,
         ck, idk = doc_cache_keys(hp.model_type, hp.cache_sides)
         if use_entity:
             tables = build_entity_tables(hp, dataset)
+            # fused in-kernel row gather: concatenated-doc towers only
+            # (NARRE/transnet read the gathered doc keys directly)
             if (hp.pallas_fuse_rows and pw is not None
-                    and hp.model_type != "NARRE"):
+                    and hp.model_type in ("deepconn", "deepconn++")):
                 tables = {(k + "__table" if k in ck else k): v
                           for k, v in tables.items()}
             train_cache = EntityCache(
