@@ -249,6 +249,16 @@ class FactorizedRecommender:
       neighbor ids — models/narre.py:86-105), so u = u_att + ue[u] and
       i = i_att + ie[i] precompute per entity; per pair only the
       hadamard MLP head relu((u*i)W0 + b0).w1 runs — exact.
+    - transnet / transnet++: the serving score is the SOURCE net
+      (models/transnet.py:82-120, the rank-by-source convention of
+      eval.py:72) whose transform splits per side exactly like
+      deepconn++'s head: relu(cat(u, i) @ W0 + b0) =
+      relu(u @ W0[:L] + i @ W0[L:] + b0), so each side's half
+      precomputes and per pair only relu(add) @ W1 + the tiny FM runs
+      ('++' appends the 5-d id embeddings to the FM input) — exact.
+
+    Only MPCN remains grid-bound: its word-level co-attention is
+    intrinsically pairwise.
 
     The catalog's item tower runs ONCE at construction (`item_chunk`
     docs at a time); `topk` then encodes only the query users and
@@ -259,7 +269,7 @@ class FactorizedRecommender:
     `Recommender`."""
 
     SUPPORTED = ("bias_only", "MF_dot", "deepconn", "deepconn++",
-                 "NARRE")
+                 "NARRE", "transnet", "transnet++")
 
     def __init__(self, hp: HyperParams, dataset: ReviewDataset,
                  params=None, model=None, item_chunk: int = 1024,
@@ -282,6 +292,8 @@ class FactorizedRecommender:
 
         if hp.model_type == "NARRE":
             self._build_narre(hp, dataset, params, item_chunk)
+        elif hp.model_type in ("transnet", "transnet++"):
+            self._build_transnet(hp, dataset, params, item_chunk)
         elif hp.model_type in ("deepconn", "deepconn++"):
             self._build_deepconn(hp, dataset, params, item_chunk)
         else:
@@ -478,6 +490,94 @@ class FactorizedRecommender:
                 np.asarray(recs["items_reviewed"]).reshape(
                     len(users), -1)[:, :r])
             return user_enc_dev(docs, reviewed, jnp.asarray(users))
+
+        self._user_enc = user_enc
+
+    def _build_transnet(self, hp: HyperParams, dataset, params,
+                        item_chunk: int):
+        """Transnet two-tower index: the SOURCE net's transform splits
+        per side (models/transnet.py:82-120); per pair only
+        relu(u_half + i_half + b0) @ W1 and the FM head run. Eval-mode
+        dropout is identity, so the served score equals the model's
+        rank-by-source prediction exactly."""
+        from .models.layers import TextCNN
+
+        L = hp.latent_size
+        plus = hp.model_type == "transnet++"
+        wv = jnp.asarray(params["word_vectors"])
+        w0 = jnp.asarray(params["project_fc0"]["kernel"])   # [2L, L]
+        b0 = jnp.asarray(params["project_fc0"]["bias"])
+        w1 = jnp.asarray(params["project_fc1"]["kernel"])   # [L, L]
+        b1 = jnp.asarray(params["project_fc1"]["bias"])
+        v = jnp.asarray(params["source_fm"]["V"])
+        wl = jnp.asarray(params["source_fm"]["lin"]["kernel"])[:, 0]
+        bl = float(np.asarray(params["source_fm"]["lin"]["bias"])[0])
+        ue = (jnp.asarray(params["user_embedding"]) if plus else None)
+        ie = (jnp.asarray(params["item_embedding"]) if plus else None)
+        cnn = TextCNN(hp.latent_size, hp.dropout)
+
+        @jax.jit
+        def item_enc(docs, ids):
+            f = cnn.apply({"params": params["source_item_conv"]}, docs,
+                          train=False, table=wv)
+            half = f @ w0[L:]
+            if plus:
+                half = jnp.concatenate(
+                    [half, jnp.take(ie, ids, axis=0)], axis=-1)
+            return half, jnp.zeros(ids.shape[0])
+
+        @jax.jit
+        def user_enc_dev(docs, ids):
+            f = cnn.apply({"params": params["source_user_conv"]}, docs,
+                          train=False, table=wv)
+            half = f @ w0[:L]
+            if plus:
+                half = jnp.concatenate(
+                    [half, jnp.take(ue, ids, axis=0)], axis=-1)
+            return half, jnp.zeros(ids.shape[0])
+
+        @jax.jit
+        def score_chunk(uv, us, iv, isc):
+            uh, uemb = uv[:, :L], uv[:, L:]
+            ih, iemb = iv[:, :L], iv[:, L:]
+            hidden = jax.nn.relu(uh[:, None, :] + ih[None, :, :] + b0)
+            ir = hidden @ w1 + b1                      # [U, C, L]
+            if plus:
+                u_b = jnp.broadcast_to(uemb[:, None, :],
+                                       (uemb.shape[0], iemb.shape[0],
+                                        uemb.shape[1]))
+                i_b = jnp.broadcast_to(iemb[None, :, :],
+                                       (uemb.shape[0], iemb.shape[0],
+                                        iemb.shape[1]))
+                x = jnp.concatenate([u_b, i_b, ir], axis=-1)
+            else:
+                x = ir
+            xv = x @ v
+            x2v2 = (x * x) @ (v * v)
+            inter = 0.5 * jnp.sum(xv * xv - x2v2, axis=-1)
+            return (inter + x @ wl + bl
+                    + us[:, None] + isc[None, :])
+
+        self._score_chunk = score_chunk
+
+        vecs, scals = [], []
+        for s in range(0, len(self.items), item_chunk):
+            chunk = self.items[s:s + item_chunk]
+            recs = dataset.candidate_grid_records(
+                hp, np.zeros(1, np.int32), chunk)
+            docs = jnp.asarray(recs["item_doc"][0])        # [C, T]
+            iv, isc = item_enc(docs, jnp.asarray(chunk))
+            vecs.append(iv)
+            scals.append(isc)
+        self.item_vec = jnp.concatenate(vecs)
+        self.item_scal = jnp.concatenate(scals)
+
+        def user_enc(users):
+            users = np.asarray(users, np.int32)
+            recs = dataset.candidate_grid_records(
+                hp, users, np.zeros(1, np.int32))
+            docs = jnp.asarray(recs["user_doc"][:, 0])     # [U, T]
+            return user_enc_dev(docs, jnp.asarray(users))
 
         self._user_enc = user_enc
 

@@ -198,3 +198,23 @@ def test_factorized_matches_grid_narre(tmp_path, dataset, hp_base):
         users, k=5)
     assert np.allclose(gs, fs, atol=1e-4)
     assert np.array_equal(gi, fi)
+
+
+@pytest.mark.parametrize("mt", ["transnet", "transnet++"])
+def test_factorized_matches_grid_transnet(tmp_path, dataset, hp_base,
+                                          mt):
+    """Transnet's SOURCE-net transform splits per side, so the
+    two-tower index must reproduce the joint grid scorer's top-k."""
+    from reviews4rec_tpu.api import run
+    from reviews4rec_tpu.serve import FactorizedRecommender, Recommender
+
+    hp = hp_base.replace(model_type=mt, epochs=1,
+                         model_dir=str(tmp_path / "m"),
+                         log_dir=str(tmp_path / "l"))
+    run(hp, dataset)
+    users = np.array([2, 6])
+    gi, gs = Recommender(hp, dataset, item_chunk=16).topk(users, k=5)
+    fi, fs = FactorizedRecommender(hp, dataset, item_chunk=16).topk(
+        users, k=5)
+    assert np.allclose(gs, fs, atol=1e-4)
+    assert np.array_equal(gi, fi)
