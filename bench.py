@@ -90,14 +90,19 @@ def setup_sgd_model(ds, model_type: str, use_pallas: bool = False,
         state, m = step(state, sb, jax.random.split(rng, scan))
         float(m["loss"])                   # compile + real execution
         holder = {"state": state}
+        # keys PRE-generated outside the timed windows: a fold_in/split
+        # per iteration is a device dispatch of its own (the same flaw
+        # the r5 epoch loops fixed) and would inflate sub-ms configs
+        keys = [np.asarray(jax.random.split(jax.random.fold_in(rng, i),
+                                            scan))
+                for i in range(STEPS // scan + 1)]
 
         def run(k: int) -> float:
             assert k % scan == 0, f"step count {k} not a multiple of {scan}"
             s = holder["state"]
             t0 = time.perf_counter()
             for i in range(k // scan):
-                s, mm = step(s, sb, jax.random.split(
-                    jax.random.fold_in(rng, i), scan))
+                s, mm = step(s, sb, keys[i])
             float(mm["loss"])              # fetch = the only real sync
             holder["state"] = s
             return time.perf_counter() - t0
@@ -109,12 +114,13 @@ def setup_sgd_model(ds, model_type: str, use_pallas: bool = False,
     state, m = step(state, b, rng)
     float(m["loss"])                       # compile + real execution
     holder = {"state": state}
+    keys = np.asarray(jax.random.split(rng, STEPS + 1))
 
     def run(k: int) -> float:
         s = holder["state"]
         t0 = time.perf_counter()
         for i in range(k):
-            s, mm = step(s, b, jax.random.fold_in(rng, i))
+            s, mm = step(s, b, keys[i])
         float(mm["loss"])                  # fetch = the only real sync
         holder["state"] = s
         return time.perf_counter() - t0
@@ -188,14 +194,16 @@ def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
                         jax.random.split(rng, scan))
         float(m["loss"])
         holder = {"state": state}
+        keys = [np.asarray(jax.random.split(jax.random.fold_in(rng, i),
+                                            scan))
+                for i in range(STEPS // scan + 1)]
 
         def run(k: int) -> float:
             assert k % scan == 0
             s = holder["state"]
             t0 = time.perf_counter()
             for i in range(k // scan):
-                s, mm = step(s, cache, rows, weight, jax.random.split(
-                    jax.random.fold_in(rng, i), scan))
+                s, mm = step(s, cache, rows, weight, keys[i])
             float(mm["loss"])
             holder["state"] = s
             return time.perf_counter() - t0
@@ -205,13 +213,13 @@ def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
     state, m = step(state, cache, rows, weight, rng)
     float(m["loss"])
     holder = {"state": state}
+    keys = np.asarray(jax.random.split(rng, STEPS + 1))
 
     def run(k: int) -> float:
         s = holder["state"]
         t0 = time.perf_counter()
         for i in range(k):
-            s, mm = step(s, cache, rows, weight,
-                         jax.random.fold_in(rng, i))
+            s, mm = step(s, cache, rows, weight, keys[i])
         float(mm["loss"])
         holder["state"] = s
         return time.perf_counter() - t0
