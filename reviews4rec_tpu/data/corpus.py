@@ -624,12 +624,16 @@ class ReviewDataset:
         return recs
 
     def candidate_grid_records(self, hp, users: np.ndarray,
-                               items: np.ndarray) -> Dict[str, np.ndarray]:
+                               items: np.ndarray,
+                               include_text: Optional[bool] = None
+                               ) -> Dict[str, np.ndarray]:
         """PUBLIC serving-grid API: [U, C] scoring-grid records for
         `users` x candidate `items` — the same layout the rank evaluator
         consumes (materialize_negs), with no leakage removal (unseen
         pairs have no shared review to drop). Used by serve.Recommender;
-        stable surface for external callers."""
+        stable surface for external callers. `include_text=False`
+        forces id-only grids (the entity serving path gathers docs from
+        the canonical device tables in-jit)."""
         users = np.asarray(users, np.int32)
         items = np.asarray(items, np.int32)
         u, c = len(users), len(items)
@@ -638,7 +642,9 @@ class ReviewDataset:
         recs = {"user": user, "item": item,
                 "rating": np.zeros((u, c), np.float32),
                 "weight": np.ones(u, np.float32)}
-        if hp.family == "review":
+        with_text = (hp.family == "review" if include_text is None
+                     else include_text)
+        if with_text:
             neg1 = np.full(u * c, -1, np.int32)
             recs.update(self._grid_text_records(
                 hp, users, item.reshape(-1), neg1, neg1, neg1, u, c))

@@ -143,10 +143,19 @@ class Recommender:
     The grid records come from the public
     `ReviewDataset.candidate_grid_records`; `exclude_seen` masking uses
     the vectorized `ReviewDataset.train_pair_mask` (no per-user Python
-    sets)."""
+    sets).
+
+    `entity=True` (review models): candidate grids are ID-ONLY and the
+    doc tensors are gathered IN-JIT from the canonical entity doc
+    tables (train/loop.py::build_entity_tables) — no host doc-grid
+    materialization or transfer per call. Scores are identical (no
+    leakage removal at serving time, so canonical docs ARE the grid
+    docs — tested). This is the fast grid path for models without an
+    exact two-tower factorization (MPCN)."""
 
     def __init__(self, hp: HyperParams, dataset: ReviewDataset,
-                 params=None, model=None, item_chunk: int = 512):
+                 params=None, model=None, item_chunk: int = 512,
+                 entity: bool = False):
         _gradient_only(hp, "Recommender")
         hp = dataset.apply_to(hp)
         if model is None or params is None:
@@ -158,9 +167,22 @@ class Recommender:
         self.item_chunk = int(item_chunk)
         apply_fn = make_apply_fn(model)
         model_type = hp.model_type
+        self._entity_tables = None
+        if entity:
+            if hp.family != "review":
+                raise ValueError(
+                    "entity=True gathers review docs from entity "
+                    f"tables; {hp.model_type!r} has none")
+            from .train.loop import build_entity_tables
+            self._entity_tables = build_entity_tables(hp, dataset)
+        tdw = (hp.input_length
+               if model_type in ("transnet", "transnet++") else 0)
 
         @jax.jit
-        def score_step(params, batch):
+        def score_step(params, batch, tables=None):
+            if tables is not None:
+                from .train.evaluate import assemble_entity_grid
+                batch = assemble_entity_grid(batch, tables, tdw)
             preds = apply_fn(params, batch, False, jax.random.PRNGKey(0))
             if model_type in ("transnet", "transnet++"):
                 preds = preds[0]         # rank by the source net
@@ -193,7 +215,10 @@ class Recommender:
             if pad:  # static shape: tail chunk padded + masked out
                 chunk = np.concatenate(
                     [chunk, np.zeros(pad, np.int32)])
-            recs = dataset.candidate_grid_records(hp, users, chunk)
+            recs = dataset.candidate_grid_records(
+                hp, users, chunk,
+                include_text=False if self._entity_tables is not None
+                else None)
             mask = (dataset.train_pair_mask(users[:, None], chunk[None])
                     if exclude_seen
                     else np.zeros((len(users), cw), bool))
@@ -201,7 +226,11 @@ class Recommender:
                 mask[:, len(chunk) - pad:] = True
             recs["mask"] = mask
             placed = jax.tree_util.tree_map(jnp.asarray, recs)
-            scores = self._score_step(self.params, placed)
+            if self._entity_tables is not None:
+                scores = self._score_step(self.params, placed,
+                                          self._entity_tables)
+            else:
+                scores = self._score_step(self.params, placed)
             top_s, top_i = _merge_topk(top_s, top_i, scores,
                                        jnp.asarray(chunk), k)
         return np.asarray(top_i), np.asarray(top_s)

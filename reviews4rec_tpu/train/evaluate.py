@@ -220,34 +220,45 @@ def make_rank_step(apply_fn: Callable, model_type: str, mesh=None):
     return rank_step
 
 
+def assemble_entity_grid(batch: Dict, tables: Dict,
+                         this_doc_words: int = 0) -> Dict:
+    """In-jit doc assembly for an ID-ONLY [B, C] candidate grid from
+    the canonical ENTITY doc tables (train/loop.py::
+    build_entity_tables): user-side rows gather once per grid row
+    ([B, 1, ...], the models' broadcast convention), item side per
+    candidate; NARRE's neighbor lists come along; transnet's
+    `this_doc` is zeros (`this_rev=-1` semantics of materialize_negs).
+    Eval grids carry no removal, so canonical docs are exactly the
+    per-example eval docs (tested). Shared by the entity rank step and
+    serve.Recommender's entity mode."""
+    b = dict(batch)
+    u2 = b["user"]
+    i2 = b["item"]
+    if "user_doc" in tables:
+        b["user_doc"] = jnp.take(tables["user_doc"], u2[:, 0],
+                                 axis=0)[:, None]
+    if "item_doc" in tables:
+        b["item_doc"] = jnp.take(tables["item_doc"], i2, axis=0)
+    if "items_reviewed" in tables:
+        b["items_reviewed"] = jnp.take(tables["items_reviewed"],
+                                       u2[:, 0], axis=0)[:, None]
+        b["users_who_gave"] = jnp.take(tables["users_who_gave"],
+                                       i2, axis=0)
+    if this_doc_words:
+        b["this_doc"] = jnp.zeros(i2.shape + (this_doc_words,),
+                                  jnp.int32)
+    return b
+
+
 def make_entity_rank_step(apply_fn: Callable, model_type: str,
                           this_doc_words: int = 0, mesh=None):
-    """Rank step over ID-ONLY candidate grids + the canonical ENTITY
-    doc tables (train/loop.py::build_entity_tables): the [B, C] doc
-    grids are assembled IN-JIT by entity-id gathers from the tables
-    instead of being materialized on host and shipped over the wire —
-    eval grids carry no removal, so canonical docs are exactly the
-    per-example eval docs (tested). For transnet `this_doc` is zeros
-    (`this_rev=-1` semantics of materialize_negs)."""
+    """Rank step over ID-ONLY candidate grids + entity doc tables: the
+    [B, C] doc grids are assembled IN-JIT (`assemble_entity_grid`)
+    instead of being materialized on host and shipped over the wire."""
 
     @partial(jax.jit, **_replicated_out(mesh))
     def rank_step(params, batch, tables):
-        b = dict(batch)
-        u2 = b["user"]
-        i2 = b["item"]
-        if "user_doc" in tables:
-            b["user_doc"] = jnp.take(tables["user_doc"], u2[:, 0],
-                                     axis=0)[:, None]
-        if "item_doc" in tables:
-            b["item_doc"] = jnp.take(tables["item_doc"], i2, axis=0)
-        if "items_reviewed" in tables:
-            b["items_reviewed"] = jnp.take(tables["items_reviewed"],
-                                           u2[:, 0], axis=0)[:, None]
-            b["users_who_gave"] = jnp.take(tables["users_who_gave"],
-                                           i2, axis=0)
-        if this_doc_words:
-            b["this_doc"] = jnp.zeros(i2.shape + (this_doc_words,),
-                                      jnp.int32)
+        b = assemble_entity_grid(batch, tables, this_doc_words)
         preds = apply_fn(params, b, False, jax.random.PRNGKey(0))
         if model_type in ("transnet", "transnet++"):
             preds = preds[0]

@@ -382,21 +382,27 @@ def build_entity_tables(hp: HyperParams, dataset) -> Dict:
     """The canonical per-entity doc (and, for NARRE, neighbor) tables
     as device arrays in the model's consumption form (float
     prepaired/plain or raw ids per hp.cache_sides) — the shared builder
-    for the entity TRAIN cache and the entity EVAL paths."""
+    for the entity TRAIN cache and the entity EVAL/serving paths.
+    MPCN's tables are always raw ids (its word table is TRAINED; the
+    embedding happens in-jit)."""
+    from ..data.corpus import _doc_layout
+
     pw = paired_window_for(hp)
-    ck, idk = doc_cache_keys(hp.model_type, hp.cache_sides)
+    sides = "ids" if hp.model_type == "MPCN" else hp.cache_sides
+    ck, idk = doc_cache_keys(hp.model_type, sides)
     # this_doc is per-example (transnet) — never a table
     ck = tuple(k for k in ck if k != "this_doc")
     idk = tuple(k for k in idk if k != "this_doc")
-    if hp.model_type == "NARRE":
+    rows, words = _doc_layout(hp)
+    if rows > 1:
         udocs, idocs, who_gave, reviewed = dataset._entity_rows_docs(
-            hp.narre_num_reviews, hp.narre_num_words, 10,
-            hp.user_pad_id, hp.item_pad_id)
-        entity_docs = {"user_doc": udocs, "item_doc": idocs,
-                       "users_who_gave": who_gave,
-                       "items_reviewed": reviewed}
+            rows, words, 10, hp.user_pad_id, hp.item_pad_id)
+        entity_docs = {"user_doc": udocs, "item_doc": idocs}
+        if hp.model_type == "NARRE":
+            entity_docs.update(users_who_gave=who_gave,
+                               items_reviewed=reviewed)
     else:
-        (udocs, _), (idocs, _) = dataset._entity_spans(hp.input_length)
+        (udocs, _), (idocs, _) = dataset._entity_spans(words)
         entity_docs = {"user_doc": udocs, "item_doc": idocs}
     return build_doc_cache(entity_docs, dataset.word_vectors,
                            cache_dtype_for(hp), paired_window=pw,

@@ -218,3 +218,25 @@ def test_factorized_matches_grid_transnet(tmp_path, dataset, hp_base,
         users, k=5)
     assert np.allclose(gs, fs, atol=1e-4)
     assert np.array_equal(gi, fi)
+
+
+@pytest.mark.parametrize("mt", ["MPCN", "deepconn"])
+def test_entity_recommender_matches_host_grids(tmp_path, dataset,
+                                               hp_base, mt):
+    """Recommender(entity=True): id-only grids + in-jit doc gathers
+    from the canonical entity tables must score identically to the
+    host-materialized grid path — the fast grid route for MPCN, the
+    one model with no exact two-tower factorization."""
+    from reviews4rec_tpu.api import run
+    from reviews4rec_tpu.serve import Recommender
+
+    hp = hp_base.replace(model_type=mt, epochs=1,
+                         model_dir=str(tmp_path / "m"),
+                         log_dir=str(tmp_path / "l"))
+    run(hp, dataset)
+    users = np.array([1, 5, 8])
+    gi, gs = Recommender(hp, dataset, item_chunk=16).topk(users, k=5)
+    ei, es = Recommender(hp, dataset, item_chunk=16,
+                         entity=True).topk(users, k=5)
+    assert np.allclose(gs, es, atol=1e-5)
+    assert np.array_equal(gi, ei)
