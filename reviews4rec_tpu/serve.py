@@ -79,12 +79,49 @@ def restore_model(hp: HyperParams, dataset: ReviewDataset,
 def predict(hp: HyperParams, dataset: ReviewDataset, split: str = "test",
             params=None, model=None) -> np.ndarray:
     """Predicted ratings for every example of `split`, in split order.
-    `params`/`model` default to the best-validation checkpoint."""
+    `params`/`model` default to the best-validation checkpoint.
+
+    With hp.cache_doc_embeds + hp.cache_entity (supported review
+    towers) the split scores DEVICE-RESIDENT through the entity doc
+    tables — no host materialization of the split's doc tensors (the
+    train split's would be ~20 GB at a 100k-interaction corpus).
+    Val/test predictions are IDENTICAL to the host path (eval removes
+    nothing — tested); train predictions use the entity mode's
+    mask-leakage semantics (the pair's own review zeroed in place)
+    where the host path remove-and-shifts — the same documented
+    deviation as entity training."""
     _gradient_only(hp, "predict")
     hp = dataset.apply_to(hp)
     if model is None or params is None:
         model, params = restore_model(hp, dataset)
-    eval_step = make_eval_step(make_apply_fn(model), hp.model_type)
+    apply_fn = make_apply_fn(model)
+
+    from .train.loop import (EntityCache, build_entity_tables,
+                             entity_supported)
+    use_ent = (hp.cache_doc_embeds and hp.cache_entity
+               and hp.family == "review" and entity_supported(hp)
+               and jax.process_count() == 1)
+    if use_ent:
+        from .train.evaluate import make_cached_eval_step
+        recs = dataset.materialize_entity(hp, split)
+        cache = EntityCache(
+            example={k: jnp.asarray(np.asarray(v))
+                     for k, v in recs.items()},
+            tables=build_entity_tables(hp, dataset))
+        step = make_cached_eval_step(apply_fn, hp.model_type)
+        n = len(recs["user"])
+        outs, weights = [], []
+        for batch in Batcher({"row": np.arange(n)}, hp.batch_size):
+            outs.append(step(params, cache,
+                             jnp.asarray(batch["row"].astype(np.int32)),
+                             jnp.asarray(batch["weight"]))["pred"])
+            weights.append(batch["weight"].astype(bool))
+        outs = jax.device_get(outs)
+        preds = [np.asarray(p)[w] for p, w in zip(outs, weights)]
+        return (np.concatenate(preds) if preds
+                else np.zeros(0, np.float32))
+
+    eval_step = make_eval_step(apply_fn, hp.model_type)
     outs, weights = [], []
     for batch in Batcher(dataset.materialize(hp, split), hp.batch_size):
         placed = jax.tree_util.tree_map(jnp.asarray, batch)

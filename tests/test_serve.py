@@ -240,3 +240,27 @@ def test_entity_recommender_matches_host_grids(tmp_path, dataset,
                          entity=True).topk(users, k=5)
     assert np.allclose(gs, es, atol=1e-5)
     assert np.array_equal(gi, ei)
+
+
+@pytest.mark.parametrize("mt", ["deepconn++", "transnet++"])
+def test_predict_entity_matches_host(tmp_path, dataset, hp_base, mt):
+    """Device-resident predict() (entity tables, no host doc grids):
+    val/test predictions equal the host path's EXACTLY (eval removes
+    nothing); train predictions differ only by the documented
+    mask-vs-remove leakage deviation (and stay close)."""
+    from reviews4rec_tpu.api import run
+    from reviews4rec_tpu.serve import predict
+
+    hp = hp_base.replace(model_type=mt, epochs=1,
+                         model_dir=str(tmp_path / "m"),
+                         log_dir=str(tmp_path / "l"))
+    run(hp, dataset)
+    hp_ent = hp.replace(cache_doc_embeds=True, cache_entity=True)
+    for split in ("val", "test"):
+        host = predict(hp, dataset, split)
+        ent = predict(hp_ent, dataset, split)
+        assert np.array_equal(host, ent), (mt, split)
+    host = predict(hp, dataset, "train")
+    ent = predict(hp_ent, dataset, "train")
+    assert host.shape == ent.shape
+    assert np.mean(np.abs(host - ent)) < 0.2   # deviation, not drift
