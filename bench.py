@@ -102,7 +102,7 @@ def setup_sgd_model(ds, model_type: str, use_pallas: bool = False,
             s = holder["state"]
             t0 = time.perf_counter()
             for i in range(k // scan):
-                s, mm = step(s, sb, keys[i])
+                s, mm = step(s, sb, keys[i % len(keys)])
             float(mm["loss"])              # fetch = the only real sync
             holder["state"] = s
             return time.perf_counter() - t0
@@ -120,7 +120,7 @@ def setup_sgd_model(ds, model_type: str, use_pallas: bool = False,
         s = holder["state"]
         t0 = time.perf_counter()
         for i in range(k):
-            s, mm = step(s, b, keys[i])
+            s, mm = step(s, b, keys[i % len(keys)])
         float(mm["loss"])                  # fetch = the only real sync
         holder["state"] = s
         return time.perf_counter() - t0
@@ -203,7 +203,7 @@ def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
             s = holder["state"]
             t0 = time.perf_counter()
             for i in range(k // scan):
-                s, mm = step(s, cache, rows, weight, keys[i])
+                s, mm = step(s, cache, rows, weight, keys[i % len(keys)])
             float(mm["loss"])
             holder["state"] = s
             return time.perf_counter() - t0
@@ -219,7 +219,7 @@ def setup_cached_model(ds, model_type: str, use_pallas: bool = False,
         s = holder["state"]
         t0 = time.perf_counter()
         for i in range(k):
-            s, mm = step(s, cache, rows, weight, keys[i])
+            s, mm = step(s, cache, rows, weight, keys[i % len(keys)])
         float(mm["loss"])
         holder["state"] = s
         return time.perf_counter() - t0
@@ -622,16 +622,41 @@ def main():
     # measurement (9 interleaved rounds); keep whichever shows the
     # smaller spread — one tunnel stall can corrupt a 5-round window
     noisy = {n: runs[n] for n in slopes if spread[n] > 0.6}
+    agreement = {}
     if noisy:
-        log(f"re-measuring high-spread configs with 9 rounds: "
-            f"{sorted(noisy)}")
-        try:
-            s2, sp2 = slope_interleaved(noisy, STEPS, rounds=9)
-            for n in s2:
-                if sp2[n] < spread[n]:
-                    slopes[n], spread[n] = s2[n], sp2[n]
-        except RuntimeError as exc:
-            log(f"re-measure failed: {exc}")
+        # ADAPTIVE windows: a 40-step window of a sub-ms step is ~10 ms
+        # of signal differenced against ~23 ms of tunnel round-trip
+        # jitter — the source of the >100% spreads on the MF family.
+        # Size each config's window to ~150 ms of device time (capped),
+        # in multiples of 40 so k_lo = steps//4 stays a multiple of the
+        # scan group size.
+        by_steps = {}
+        for n in noisy:
+            steps_n = min(4000, max(STEPS,
+                                    int(0.15 / max(slopes[n], 1e-9))))
+            steps_n = -(-steps_n // 40) * 40
+            by_steps.setdefault(steps_n, {})[n] = noisy[n]
+        for steps_n, grp in sorted(by_steps.items()):
+            log(f"re-measuring high-spread configs with {steps_n}-step "
+                f"windows, 7 rounds: {sorted(grp)}")
+            try:
+                s2, sp2 = slope_interleaved(grp, steps_n, rounds=7)
+                for n in s2:
+                    # the range spread is contention-dominated and does
+                    # not shrink with window size (measured: 160 ms
+                    # windows still spread 200% on this shared chip) —
+                    # but the MEDIAN reproduces across independent
+                    # passes to a few %. Cross-pass median agreement is
+                    # the honest reproducibility bar for these rows.
+                    agreement[n] = round(
+                        abs(s2[n] - slopes[n])
+                        / max(min(s2[n], slopes[n]), 1e-12) * 100, 1)
+                    if sp2[n] < spread[n]:
+                        slopes[n], spread[n] = s2[n], sp2[n]
+            except RuntimeError as exc:
+                log(f"re-measure failed: {exc}")
+        if agreement:
+            log(f"cross-pass median agreement (%): {agreement}")
     max_spread = 0.0
     for name in slopes:
         eps = batches[name] / slopes[name]
@@ -771,6 +796,10 @@ def main():
         "product_path": product,
         "spreads_pct": {k: round(v * 100.0, 1)
                         for k, v in spread.items() if k in rows},
+        # for configs whose range spread is contention-dominated: how
+        # closely the MEDIAN reproduced across two independent passes
+        # (the reproducibility bar; the range spread is an outlier bar)
+        "median_agreement_pct": agreement,
         "batch_sweep": {str(k): v for k, v in sorted(sweep.items())},
         "sweep_best": max([v for v in sweep.values() if v], default=None),
     }))
